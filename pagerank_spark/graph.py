@@ -1,0 +1,174 @@
+"""Edge-table normalization and graph-shape aggregations.
+
+Re-expresses, Spark-first, the reference engine's graph-construction
+path (reference ``pagerank/src/lib/pagerank.cpp:28-92``):
+
+- edge dedupe          (ref: sorted-vector binary-search insert, :28-37)
+- out-degree count     (ref: ``num_outgoing[from]++`` per unique edge, :55-56)
+- vertex domain        (ref: ``[0, max_id]`` incl. never-mentioned ids, :43-51,86)
+- in-adjacency build   (ref: ``graph[to]`` sorted in-neighbor vectors, :38-59)
+
+All of these are single declarative DataFrame expressions; Catalyst
+turns them into partial-aggregate + exchange plans with map-side
+combine, which is exactly the right physical shape at 1e9+ edges.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+EDGE_SCHEMA = "src BIGINT, dst BIGINT"
+
+
+def read_edge_list_text(spark: SparkSession, path: str) -> DataFrame:
+    """Whitespace-delimited ``"src dst"`` text scan (ref pagerank.cpp:60-92).
+
+    The reference splits on the first space with ``strtol``; Spark's CSV
+    reader with a single-space separator matches that for well-formed
+    SNAP-style files.
+    """
+    return (
+        spark.read.csv(path, sep=" ", schema=EDGE_SCHEMA, comment="#")
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    )
+
+
+def dedupe_edges(edges: DataFrame) -> DataFrame:
+    """Drop duplicate (src, dst) pairs (ref pagerank.cpp:28-37,53-57).
+
+    Duplicate input lines must not inflate out-degree — this is part of
+    the reference-matching contract (FIXTURES.md F2).
+    """
+    return edges.dropDuplicates(["src", "dst"])
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """(id, out_deg) over unique edges (ref pagerank.cpp:55-56)."""
+    return edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+
+
+def num_vertices(edges: DataFrame) -> int:
+    """``max(id) + 1`` — the reference's implicit dense domain
+    (ref pagerank.cpp:43-51,86).  Ids below the max that never appear
+    in any edge are still in-domain (isolated, dangling)."""
+    row = edges.agg(F.max(F.greatest("src", "dst")).alias("m")).first()
+    if row is None or row["m"] is None:
+        return 0
+    return int(row["m"]) + 1
+
+
+def vertex_domain(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """Dense vertex domain [0, n) as a DataFrame (id BIGINT)."""
+    return spark.range(0, n, numPartitions=partitions).withColumnRenamed("id", "id")
+
+
+def in_adjacency(edges: DataFrame) -> DataFrame:
+    """CSR-style grouped in-neighbor lists: (dst, srcs ARRAY<BIGINT> sorted).
+
+    Ref: ``graph[to]`` sorted vectors (pagerank.cpp:38-59).  The gather
+    join does NOT need this materialization (flat edges shuffle-join
+    better); it exists for operators that want per-vertex neighbor
+    arrays and for parity with the reference's data model.
+    """
+    return edges.groupBy("dst").agg(
+        F.sort_array(F.collect_list("src")).alias("srcs")
+    )
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected view: edges ∪ reversed, self-loops dropped, deduped.
+
+    Used by connected components / label propagation / triangles, which
+    are defined on the undirected graph (FIXTURES.md F2/F4 semantics).
+    """
+    fwd = edges.select("src", "dst")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
+        fwd.unionByName(rev)
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def encode_dense_ids(edges_str: DataFrame, src_col: str = "src_repo",
+                     dst_col: str = "dst_repo") -> tuple[DataFrame, DataFrame]:
+    """Deterministic dictionary encoding of string vertex names to dense
+    BIGINT ids in [0, N).
+
+    Sorted ``row_number() - 1`` over the distinct name set, so the
+    mapping is stable across runs and cluster sizes (SURVEY.md §1:
+    preserves reference semantics over ``[0, N)``).
+
+    Returns (encoded_edges(src,dst), dictionary(name, id)).
+
+    Scale note: a global row_number needs a single ordered pass over
+    the *distinct* vertex names (|V|, not |E| rows).  At 1e8+ vertices
+    switch to ``zipWithIndex``-free two-level encoding: here we use a
+    rank-over-sorted-names window which Spark executes as a global sort
+    — acceptable because it runs exactly once per graph build and the
+    input is the deduplicated vertex set.
+    """
+    from pyspark.sql import Window
+
+    names = (
+        edges_str.select(F.col(src_col).alias("name"))
+        .unionByName(edges_str.select(F.col(dst_col).alias("name")))
+        .distinct()
+    )
+    w = Window.orderBy("name")
+    dictionary = names.withColumn("id", F.row_number().over(w) - F.lit(1))
+    enc = (
+        edges_str
+        .join(dictionary.withColumnRenamed("name", src_col)
+              .withColumnRenamed("id", "src"), src_col)
+        .join(dictionary.withColumnRenamed("name", dst_col)
+              .withColumnRenamed("id", "dst"), dst_col)
+        .select("src", "dst")
+    )
+    return enc, dictionary
+
+
+@dataclass
+class Graph:
+    """A prepared graph: deduped edges + degree table + vertex count.
+
+    ``edges`` and ``out_deg`` are persisted by ``prepare`` — they are
+    reused every iteration by all iterative operators, which is the
+    single most important physical decision (the reference builds its
+    adjacency exactly once too, pagerank.cpp:60-92).
+    """
+
+    edges: DataFrame        # (src, dst) unique
+    out_deg: DataFrame      # (id, out_deg)
+    n: int                  # vertex domain size
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.edges.sparkSession
+
+
+def prepare(edges_raw: DataFrame, partitions: int | None = None,
+            persist: bool = True) -> Graph:
+    """Normalize a raw edge DataFrame into a reusable :class:`Graph`.
+
+    ``partitions``: explicit shuffle width for the persisted edge table
+    (defaults to spark.sql.shuffle.partitions).  Edges are hash
+    partitioned by ``dst`` — the gather's groupBy key — so the
+    per-iteration rank aggregation reuses the layout without a second
+    exchange when the join side is broadcast.
+    """
+    spark = edges_raw.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = dedupe_edges(edges_raw).repartition(partitions, "dst")
+    if persist:
+        edges = edges.persist()
+    deg = out_degrees(edges)
+    if persist:
+        deg = deg.persist()
+    n = num_vertices(edges)
+    return Graph(edges=edges, out_deg=deg, n=n)

@@ -1,0 +1,148 @@
+"""Connected components via alternating large-star / small-star.
+
+Algorithm: Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+"Connected Components in MapReduce and Beyond" (SOCC'14) — the
+two-round alternating algorithm, which converges in O(log² n) rounds
+(O(log n) in practice) and, unlike naive min-label flooding, keeps the
+intermediate edge set SHRINKING: every round rewires nodes directly to
+their current component minimum, so at 100 TB the per-round shuffle
+volume decays geometrically instead of staying at |E|.
+
+The reference engine has no component operator; this is mandated
+beyond it (BASELINE.json north star: "connected components via
+iterative min-label hash-join propagation (large-star/small-star)").
+
+DataFrame formulation over an undirected edge set Γ:
+
+  large-star:  per u, m = min(N(u) ∪ {u});  emit (v, m) for v in N(u), v > u
+  small-star:  per u, S = {v in N(u) : v < u} ∪ {u}, m = min(S);
+               emit (v, m) for v in S, v != m
+
+Each step is: groupBy-min (partial agg) + broadcast/shuffle hash join
++ filter — no collect of edge data to the driver.  Convergence is
+detected with a constant-size aggregate (count + order-insensitive
+xxhash64 checksum of the edge set), one driver collect per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pagerank_spark.checkpoint import CheckpointManager
+from pagerank_spark.graph import symmetrize
+
+
+def _min_neighbor(edges: DataFrame) -> DataFrame:
+    """(src, m) where m = min(Γ(src) ∪ {src})."""
+    return edges.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    m = _min_neighbor(edges)
+    return (
+        edges.join(m, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # Orient every edge small←large: (hi, lo) with hi > lo, then per hi
+    # compute m = min(lo ∪ {hi}) and emit (v, m) for v ∈ lo-set ∪ {hi}, v ≠ m.
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).dropDuplicates(["src", "dst"])
+    m = _min_neighbor(oriented)  # min over smaller-neighbors ∪ self
+    nbr_emit = (
+        oriented.join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_emit = m.select(F.col("src"), F.col("m").alias("dst"))
+    return (
+        nbr_emit.unionByName(self_emit)
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor: order-insensitive, overflow-free (ANSI-safe) set digest.
+    row = edges.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+    ).first()
+    return int(row["c"] or 0), int(row["h"] or 0)
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 50,
+    checkpoint: CheckpointManager | None = None,
+) -> DataFrame:
+    """(id, component) for every vertex incident to an edge; component
+    label = min vertex id in the component (FIXTURES.md F4 contract).
+
+    Callers that follow the reference's dense-domain semantics should
+    union in isolated ids labelled by themselves (see
+    ``components_with_domain``).
+    """
+    spark = edges.sparkSession
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+
+    cur = symmetrize(edges).persist()
+    prev_sig = _edge_checksum(cur)
+    it = 0
+    while it < max_iter:
+        it += 1
+        ls = _large_star(cur)
+        # large-star emits directed (v, m); small-star needs both
+        # orientations visible — symmetrize between the two phases.
+        nxt = _small_star(symmetrize(ls))
+        nxt = symmetrize(nxt)
+        if checkpoint is not None and checkpoint.should_checkpoint(it):
+            nxt = checkpoint.write_state(nxt, it).persist()
+        else:
+            # Truncate lineage each round (plan would double per round).
+            nxt = nxt.localCheckpoint(eager=True)
+        sig = _edge_checksum(nxt)
+        cur.unpersist()
+        cur = nxt
+        if checkpoint is not None and checkpoint.should_checkpoint(it):
+            checkpoint.write_metrics(it, {"edges": float(sig[0]),
+                                          "checksum": float(sig[1] % 2**31)})
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # At the fixpoint the (hi→lo) orientation is a star forest: every
+    # non-root points directly at its component min.
+    labels = (
+        cur.select(F.greatest("src", "dst").alias("id"),
+                   F.least("src", "dst").alias("component"))
+        .groupBy("id").agg(F.min("component").alias("component"))
+    )
+    return (
+        vertices.join(labels, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )
+
+
+def components_with_domain(edges: DataFrame, n: int) -> DataFrame:
+    """Components over the full dense domain [0, n): isolated vertices
+    (reference quirk Q3 — in-domain ids with no edges) label themselves."""
+    spark = edges.sparkSession
+    comp = connected_components(edges)
+    domain = spark.range(0, n).withColumnRenamed("id", "id")
+    return (
+        domain.join(comp, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )

@@ -1,0 +1,242 @@
+"""Power-iteration PageRank with reference-matching semantics.
+
+Re-expresses the reference's hard-wired dataflow
+(``/root/reference/pagerank/src/lib/pagerank.cpp:94-242``) as one
+Spark job per iteration:
+
+    gather:   edges ⋈ ranks on src  →  groupBy(dst).sum(pr/out_deg)
+              (ref: the in-edge gather loop, pagerank.cpp:123-128)
+    update:   (contrib + dangling/N)·d + (1-d)/N
+              (ref: pagerank.cpp:131,142; damping 0.85, pagerank.hpp:14)
+    dangling: Σ pr over vertices with no out-edges, from the CURRENT
+              vector, skipped at step 0 (ref: pagerank.cpp:210-219)
+    stop:     L1(new, old) < tol, checked after the update and before
+              the swap (ref: pagerank.cpp:229-238)
+
+Replicated quirks (SURVEY.md §7, all required for iteration-count
+parity):
+    Q1  zero initialization (integer-division bug, pagerank.cpp:97) —
+        the facebook graph needs 132 iterations from zero at 1e-10 vs
+        117 from 1/N.
+    Q2  exact per-step order as above.
+    Q3  vertex domain [0, max_id] including never-mentioned ids.
+    Q4  the reported vector is the pre-swap iterate x_{k-1}
+        (pagerank.cpp:234-238); we carry (pr, prev_pr) in the state
+        table so both are available.
+    Q5  NOT replicated: the ×1e11 lossy wire codec and the 64 MB
+        buffer truncation — Spark's shuffle is lossless.
+
+Physical strategy (the 100 TB story):
+    - The edge table is deduped, degree-joined and persisted ONCE,
+      hash-partitioned by ``dst`` (the aggregation key).  Per
+      iteration only the |V|-row rank table moves.
+    - gather_mode="broadcast": ranks broadcast to the persisted edge
+      partitions → zero shuffle of edge rows, and the groupBy(dst)
+      reuses the persisted partitioning (no exchange at all on the
+      edge side).  Right up to ~5e6 vertices per the default
+      threshold.
+    - gather_mode="shuffle": shuffled hash join on ``src`` for larger
+      vertex sets; map-side partial aggregation keeps the
+      groupBy(dst) traffic at |distinct dst per partition|, not |E|.
+    - gather_mode="salted": hub-salted join (skew.py) — mandated for
+      power-law graphs; equivalence-tested.
+    - One driver-side collect per iteration: a single aggregate over
+      the new state computes L1 delta, next dangling mass, and Σpr
+      together (the reference needs two passes + an all-gather,
+      myRDMA.cpp:157-162; we need one partial-agg collect).
+    - Lineage is truncated by iteration-stamped checkpoints
+      (checkpoint.py); non-checkpointed iterations persist in memory
+      and unpersist their predecessor.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from pagerank_spark.checkpoint import CheckpointManager
+from pagerank_spark.graph import Graph
+from pagerank_spark import skew
+
+DAMPING = 0.85           # ref pagerank.hpp:14
+MAX_ITER = 100_000       # ref main.cpp:7
+BROADCAST_MAX_VERTICES = 5_000_000
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame            # (id, pr) — reported (pre-swap) vector, ref Q4
+    converged_ranks: DataFrame  # (id, pr) — the last computed iterate x_k
+    iterations: int
+    final_l1: float
+    metrics: list[dict] = field(default_factory=list)
+
+    def top(self, k: int = 1) -> DataFrame:
+        """Argmax vertex (ref max_pr, pagerank.cpp:244-262) generalized
+        to top-k; deterministic tie-break on smallest id."""
+        return self.ranks.orderBy(F.desc("pr"), F.asc("id")).limit(k)
+
+
+def _rank_weights(state: DataFrame) -> DataFrame:
+    """(src, w = pr/out_deg) for vertices WITH out-edges — the only rows
+    that contribute to the gather.  Computed on the |V|-row side before
+    the join so the per-edge work is a plain lookup."""
+    return (
+        state.where(F.col("out_deg").isNotNull())
+        .select(F.col("id").alias("src"),
+                (F.col("pr") / F.col("out_deg")).alias("w"))
+    )
+
+
+def _gather(graph_edges: DataFrame, ranks_w: DataFrame, mode: str,
+            salted_ctx: tuple | None) -> DataFrame:
+    """(dst, contrib = Σ w[src]) over in-edges."""
+    if mode == "salted" and salted_ctx is not None:
+        salted_edges, hot, num_salts = salted_ctx
+        return skew.salted_gather(salted_edges, ranks_w, hot, num_salts)
+    joined = (
+        graph_edges.join(F.broadcast(ranks_w), "src")
+        if mode == "broadcast"
+        else graph_edges.join(ranks_w, "src")
+    )
+    return joined.groupBy("dst").agg(F.sum("w").alias("contrib"))
+
+
+def pagerank(
+    graph: Graph,
+    damping: float = DAMPING,
+    tol: float = 1e-10,
+    max_iter: int = MAX_ITER,
+    stop_rule: str = "l1",
+    checkpoint: CheckpointManager | None = None,
+    gather_mode: str = "auto",
+    salt_threshold: int | None = None,
+    num_salts: int = 8,
+    resume: bool = False,
+) -> PageRankResult:
+    """Run PageRank to convergence.
+
+    stop_rule:
+      "l1"        — stop when L1 delta < ``tol`` (north-star rule).
+      "reference" — the reference's own rule: L1 < 1e-5 OR plateau
+                    |L1 - prev_L1| < 1e-7 (ref pagerank.cpp:229-236).
+    """
+    spark = graph.spark
+    n = graph.n
+    if n == 0:
+        empty = spark.createDataFrame([], "id BIGINT, pr DOUBLE")
+        return PageRankResult(empty, empty, 0, 0.0)
+
+    if gather_mode == "auto":
+        gather_mode = "broadcast" if n <= BROADCAST_MAX_VERTICES else "shuffle"
+
+    salted_ctx = None
+    if salt_threshold is not None:
+        gather_mode = "salted"
+        hot = skew.hot_vertices(graph.out_deg, salt_threshold).persist()
+        salted_edges = skew.salt_edges(graph.edges, hot, num_salts).persist()
+        salted_ctx = (salted_edges, hot, num_salts)
+
+    # State: (id, pr, prev_pr, out_deg NULL⇔dangling).  Carrying out_deg
+    # in the state avoids a per-iteration anti-join for the dangling
+    # mass (ref recomputes it with a full filter pass each step,
+    # pagerank.cpp:210-219).
+    it = 0
+    dangling = 0.0
+    prev_l1 = 1.0  # ref inits diff=1 (pagerank.cpp:268)
+    metrics: list[dict] = []
+
+    if resume and checkpoint is not None and checkpoint.latest_iteration() is not None:
+        it = checkpoint.latest_iteration()
+        state = checkpoint.read_state(it).persist()
+        agg = _state_agg(state)
+        dangling, prev_l1 = agg["dangling"], agg["l1"]
+        if _stopped(prev_l1, None, stop_rule, tol):
+            return _finish(state, it, prev_l1, metrics)
+    else:
+        # Q1: zero init.
+        state = (
+            spark.range(0, n).withColumnRenamed("id", "id")
+            .join(graph.out_deg, "id", "left")
+            .select("id", F.lit(0.0).alias("pr"),
+                    F.lit(0.0).alias("prev_pr"), "out_deg")
+            .persist()
+        )
+
+    inv_n = 1.0 / n
+    while it < max_iter:
+        it += 1
+        t0 = time.monotonic()
+
+        contribs = _gather(graph.edges, _rank_weights(state), gather_mode, salted_ctx)
+        new_pr = (
+            (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling * inv_n))
+            * F.lit(damping) + F.lit((1.0 - damping) * inv_n)
+        )
+        new_state = (
+            state.join(contribs, state["id"] == contribs["dst"], "left")
+            .select(state["id"], new_pr.alias("pr"),
+                    state["pr"].alias("prev_pr"), state["out_deg"])
+        )
+
+        # Lineage truncation is NOT optional: the new state references
+        # the old one twice (directly + via the gather), so the logical
+        # plan doubles per iteration — by ~iter 30 plan analysis alone
+        # OOMs the JVM.  Durable checkpoint (write+read parquet) when a
+        # manager says so; eager localCheckpoint (in-memory RDD with a
+        # fresh LogicalRDD plan) otherwise.
+        if checkpoint is not None and checkpoint.should_checkpoint(it):
+            new_state = checkpoint.write_state(new_state, it).persist()
+        else:
+            new_state = new_state.localCheckpoint(eager=True)
+
+        agg = _state_agg(new_state)
+        l1, next_dangling, sum_pr = agg["l1"], agg["dangling"], agg["sum_pr"]
+        wall_ms = (time.monotonic() - t0) * 1000.0
+        m = {"l1": l1, "dangling_mass": next_dangling, "sum_pr": sum_pr,
+             "wall_ms": wall_ms, "rows": float(n),
+             "num_partitions": float(new_state.rdd.getNumPartitions())}
+        metrics.append({"iteration": it, **m})
+        if checkpoint is not None and checkpoint.should_checkpoint(it):
+            checkpoint.write_metrics(it, m)
+
+        state.unpersist()
+        state = new_state
+
+        if _stopped(l1, prev_l1, stop_rule, tol):
+            break
+        prev_l1 = l1
+        dangling = next_dangling
+
+    return _finish(state, it, metrics[-1]["l1"] if metrics else prev_l1, metrics)
+
+
+def _state_agg(state: DataFrame) -> dict:
+    """One collect: L1 delta, dangling mass of the new vector, Σpr."""
+    row = state.agg(
+        F.sum(F.abs(F.col("pr") - F.col("prev_pr"))).alias("l1"),
+        F.sum(F.when(F.col("out_deg").isNull(), F.col("pr"))
+              .otherwise(F.lit(0.0))).alias("dangling"),
+        F.sum("pr").alias("sum_pr"),
+    ).first()
+    return {"l1": float(row["l1"] or 0.0),
+            "dangling": float(row["dangling"] or 0.0),
+            "sum_pr": float(row["sum_pr"] or 0.0)}
+
+
+def _stopped(l1: float, prev_l1: float | None, stop_rule: str, tol: float) -> bool:
+    if stop_rule == "reference":
+        # ref pagerank.cpp:229-236: L1 < 1e-5 OR plateau < 1e-7.
+        if l1 < 1e-5:
+            return True
+        return prev_l1 is not None and abs(l1 - prev_l1) < 1e-7
+    return l1 < tol
+
+
+def _finish(state: DataFrame, it: int, l1: float, metrics: list[dict]) -> PageRankResult:
+    reported = state.select("id", F.col("prev_pr").alias("pr"))
+    converged = state.select("id", "pr")
+    return PageRankResult(ranks=reported, converged_ranks=converged,
+                          iterations=it, final_l1=l1, metrics=metrics)

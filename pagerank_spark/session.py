@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for the link-graph workload.
+
+Local mode is the sandbox test bed; the same builder flags are what we
+would pass to ``spark-submit`` on a multi-executor cluster (see
+``jobs/``).  Key choices:
+
+- AQE on (runtime coalescing + skew-join splitting backstop; our hub
+  salting in ``skew.py`` is the primary skew defence).
+- Arrow enabled: every Python-side transform is a vectorized
+  pandas/Arrow UDF — no per-row Python anywhere.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster this should be ~2-3x total executor cores (set by the job
+  entrypoints, not hard-coded here).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pagerank_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``master`` defaults to ``local[N]`` with N from ``SPARK_GRAFT_CPUS``
+    (default: all cores).  On a real cluster, pass ``master=None`` and
+    let ``spark-submit`` supply it.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(int(cpus), 8)
+        except ValueError:
+            shuffle_partitions = max(os.cpu_count() or 8, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # Iterative drivers re-analyze plans every loop; cap the cost.
+        .config("spark.sql.analyzer.maxIterations", "200")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

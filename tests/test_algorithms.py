@@ -1,0 +1,112 @@
+"""Connected components / label propagation / triangle counting vs
+exact fixtures (FIXTURES.md F4) and brute-force oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from conftest import edges_df
+from oracles import (
+    F2_EDGES,
+    components_oracle,
+    label_propagation_oracle,
+    triangles_oracle,
+)
+from pagerank_spark.operators import (
+    connected_components,
+    label_propagation,
+    triangle_count,
+)
+from pagerank_spark.operators.components import components_with_domain
+
+
+def _clique(ids):
+    return [(a, b) for a in ids for b in ids if a < b]
+
+
+def test_two_cliques_components(spark):
+    edges = _clique(range(5)) + _clique(range(10, 14))
+    comp = {r["id"]: r["component"]
+            for r in connected_components(edges_df(spark, edges)).collect()}
+    assert comp == components_oracle(edges)
+    assert set(comp.values()) == {0, 10}
+
+
+def test_two_cliques_triangles(spark):
+    edges = _clique(range(5)) + _clique(range(10, 14))
+    assert triangle_count(edges_df(spark, edges)) == 14  # C(5,3)+C(4,3)
+
+
+def test_cycle_fixture(spark):
+    edges = [(i, (i + 1) % 8) for i in range(8)]
+    df = edges_df(spark, edges)
+    comp = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert set(comp.values()) == {0}
+    assert triangle_count(df) == 0
+
+
+def test_star_fixture(spark):
+    edges = [(i, 0) for i in range(1, 21)]
+    df = edges_df(spark, edges)
+    comp = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert set(comp.values()) == {0}
+    assert triangle_count(df) == 0
+
+
+def test_f2_fixture(spark):
+    df = edges_df(spark, F2_EDGES)
+    comp = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 5
+    assert triangle_count(df) == 1  # {0,1,2}
+    labels = {r["id"]: r["label"] for r in label_propagation(df).collect()}
+    assert len(set(labels.values())) == 1
+
+
+def test_components_with_domain_isolated(spark):
+    # edges {0→2}: vertex 1 in-domain and isolated → own component.
+    comp = {r["id"]: r["component"]
+            for r in components_with_domain(edges_df(spark, [(0, 2)]), 3).collect()}
+    assert comp == {0: 0, 1: 1, 2: 0}
+
+
+def test_random_graph_components_triangles(spark):
+    rng = np.random.default_rng(42)
+    n, p = 100, 0.03
+    edges = [(int(i), int(j)) for i in range(n) for j in range(n)
+             if i != j and rng.random() < p]
+    df = edges_df(spark, edges)
+    comp = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert comp == components_oracle(edges)
+    assert triangle_count(df) == triangles_oracle(edges)
+
+
+def test_label_propagation_two_cliques(spark):
+    edges = _clique(range(5)) + _clique(range(10, 14))
+    labels = {r["id"]: r["label"]
+              for r in label_propagation(edges_df(spark, edges)).collect()}
+    oracle = label_propagation_oracle(edges)
+    assert labels == oracle
+    # Two disjoint cliques → two distinct labels.
+    assert len({labels[i] for i in range(5)}) == 1
+    assert len({labels[i] for i in range(10, 14)}) == 1
+    assert labels[0] != labels[10]
+
+
+def test_label_propagation_matches_oracle_random(spark):
+    rng = np.random.default_rng(7)
+    n, p = 40, 0.08
+    edges = [(int(i), int(j)) for i in range(n) for j in range(n)
+             if i != j and rng.random() < p]
+    labels = {r["id"]: r["label"]
+              for r in label_propagation(edges_df(spark, edges), max_iter=10).collect()}
+    oracle = label_propagation_oracle(edges, max_iter=10)
+    assert labels == oracle
+
+
+def test_triangle_direction_invariance(spark):
+    # Property: triangle count invariant under edge direction flips.
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    flipped = [(1, 0), (1, 2), (0, 2), (3, 2)]
+    assert triangle_count(edges_df(spark, edges)) == 1
+    assert triangle_count(edges_df(spark, flipped)) == 1

@@ -1,0 +1,133 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from conftest import edges_df
+from oracles import F2_EDGES, pagerank_oracle
+from pagerank_spark import graph
+from pagerank_spark.checkpoint import CheckpointManager
+from pagerank_spark.operators import pagerank
+
+
+def _ranks_dict(df):
+    return {r["id"]: r["pr"] for r in df.collect()}
+
+
+# FIXTURES.md F2 goldens (exact reference semantics, pre-swap vector).
+F2_GOLDEN_L1 = {
+    0: 0.214201109530419, 1: 0.15744966015736, 2: 0.347733931598026,
+    3: 0.0664141886163887, 4: 0.214201109530419,
+}
+F2_GOLDEN_REF = {
+    0: 0.214188169991618, 1: 0.157440602480199, 2: 0.347713228335943,
+    3: 0.0664116007086284, 4: 0.214188169991618,
+}
+
+
+def test_f2_north_star_rule(spark):
+    g = graph.prepare(edges_df(spark, F2_EDGES))
+    res = pagerank(g, tol=1e-10)
+    assert res.iterations == 132
+    assert res.final_l1 < 1e-10
+    ranks = _ranks_dict(res.ranks)
+    for v, want in F2_GOLDEN_L1.items():
+        assert ranks[v] == pytest.approx(want, abs=1e-9)
+    assert sum(ranks.values()) == pytest.approx(0.999999999432613, abs=1e-9)
+    top = res.top(1).first()
+    assert top["id"] == 2
+
+
+def test_f2_reference_stop_rule(spark):
+    g = graph.prepare(edges_df(spark, F2_EDGES))
+    res = pagerank(g, stop_rule="reference")
+    assert res.iterations == 61
+    ranks = _ranks_dict(res.ranks)
+    for v, want in F2_GOLDEN_REF.items():
+        assert ranks[v] == pytest.approx(want, abs=1e-9)
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_gather_modes_agree(spark, mode):
+    g = graph.prepare(edges_df(spark, F2_EDGES))
+    res = pagerank(g, tol=1e-4, gather_mode=mode)
+    oracle_rep, _, oracle_it, _ = pagerank_oracle(F2_EDGES, tol=1e-4)
+    assert res.iterations == oracle_it
+    ranks = _ranks_dict(res.ranks)
+    for v in range(5):
+        assert ranks[v] == pytest.approx(oracle_rep[v], abs=1e-9)
+
+
+def test_star_dangling(spark):
+    # FIXTURES F4 star: i→0 for i in 1..20; vertex 0 dangling w/ top rank.
+    edges = [(i, 0) for i in range(1, 21)]
+    g = graph.prepare(edges_df(spark, edges))
+    res = pagerank(g, tol=1e-6)
+    oracle_rep, _, oracle_it, _ = pagerank_oracle(edges, tol=1e-6)
+    assert res.iterations == oracle_it
+    ranks = _ranks_dict(res.ranks)
+    np.testing.assert_allclose(
+        [ranks[v] for v in range(21)], oracle_rep, atol=1e-9)
+    assert res.top(1).first()["id"] == 0
+
+
+def test_cycle_uniform(spark):
+    # directed 8-cycle: all ranks 1/8 at convergence.
+    edges = [(i, (i + 1) % 8) for i in range(8)]
+    g = graph.prepare(edges_df(spark, edges))
+    res = pagerank(g, tol=1e-10)
+    ranks = _ranks_dict(res.converged_ranks)
+    np.testing.assert_allclose(list(ranks.values()), [1 / 8] * 8, atol=1e-6)
+
+
+def test_isolated_gap_gets_mass(spark):
+    # edges {0→2}: vertex 1 is in-domain, isolated, dangling — it must
+    # receive (1-d)/N + dangling share (reference quirk Q3).
+    g = graph.prepare(edges_df(spark, [(0, 2)]))
+    res = pagerank(g, tol=1e-6)
+    oracle_rep, _, oracle_it, _ = pagerank_oracle([(0, 2)], tol=1e-6)
+    assert res.iterations == oracle_it
+    ranks = _ranks_dict(res.ranks)
+    assert set(ranks) == {0, 1, 2}
+    np.testing.assert_allclose(
+        [ranks[v] for v in range(3)], oracle_rep, atol=1e-9)
+
+
+def test_random_graph_vs_oracle(spark):
+    rng = np.random.default_rng(42)
+    n, p = 60, 0.06
+    edges = [(int(i), int(j)) for i in range(n) for j in range(n)
+             if i != j and rng.random() < p]
+    g = graph.prepare(edges_df(spark, edges))
+    res = pagerank(g, tol=1e-6)
+    oracle_rep, _, oracle_it, _ = pagerank_oracle(edges, tol=1e-6)
+    assert res.iterations == oracle_it
+    ranks = _ranks_dict(res.ranks)
+    np.testing.assert_allclose(
+        [ranks[v] for v in sorted(ranks)], oracle_rep, atol=1e-8)
+
+
+def test_checkpoint_resume_bit_identical(spark, tmp_path):
+    # FIXTURES F5 shape, capped at a fixed horizon to keep the suite
+    # fast: interrupt at iteration 12, resume, compare the iterate at
+    # 30 bit-for-bit with the uninterrupted run's.
+    edges = F2_EDGES
+    g = graph.prepare(edges_df(spark, edges))
+
+    full_ck = CheckpointManager(spark, str(tmp_path / "full"), interval=1)
+    full = pagerank(g, tol=1e-10, max_iter=30, checkpoint=full_ck)
+
+    part_ck = CheckpointManager(spark, str(tmp_path / "part"), interval=1)
+    pagerank(g, tol=1e-10, max_iter=12, checkpoint=part_ck)
+    assert part_ck.latest_iteration() == 12
+    resumed = pagerank(g, tol=1e-10, max_iter=30, checkpoint=part_ck, resume=True)
+
+    assert resumed.iterations == full.iterations == 30
+    a = _ranks_dict(full.ranks)
+    b = _ranks_dict(resumed.ranks)
+    assert a == b  # bit-for-bit (same deterministic plan per iteration)
+
+    # Metrics + state commits: one per iteration 1..60, no gaps.
+    assert full_ck.committed_iterations() == list(range(1, 31))
+    mrows = full_ck.read_metrics().select("iteration").collect()
+    assert sorted(r["iteration"] for r in mrows) == list(range(1, 31))
