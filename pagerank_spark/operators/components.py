@@ -91,6 +91,13 @@ def connected_components(
     ``components_with_domain``).
     """
     spark = edges.sparkSession
+    if checkpoint is None:
+        # Durable truncation cadence — see operators/pagerank.py for why
+        # localCheckpoint alone is insufficient (stats-estimate blowup).
+        import tempfile
+
+        checkpoint = CheckpointManager(
+            spark, tempfile.mkdtemp(prefix="cc_ckpt_"), interval=8)
     vertices = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))

@@ -34,6 +34,13 @@ def label_propagation(
     checkpoint: CheckpointManager | None = None,
 ) -> DataFrame:
     """(id, label) for every vertex incident to an edge."""
+    if checkpoint is None:
+        # Durable truncation cadence — see operators/pagerank.py for why
+        # localCheckpoint alone is insufficient (stats-estimate blowup).
+        import tempfile
+
+        checkpoint = CheckpointManager(
+            edges.sparkSession, tempfile.mkdtemp(prefix="lpa_ckpt_"), interval=8)
     und = symmetrize(edges).persist()
     labels = (
         und.select(F.col("src").alias("id"))

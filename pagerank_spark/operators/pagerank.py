@@ -111,6 +111,7 @@ def pagerank(
     max_iter: int = MAX_ITER,
     stop_rule: str = "l1",
     checkpoint: CheckpointManager | None = None,
+    checkpoint_interval: int = 8,
     gather_mode: str = "auto",
     salt_threshold: int | None = None,
     num_salts: int = 8,
@@ -128,6 +129,22 @@ def pagerank(
     if n == 0:
         empty = spark.createDataFrame([], "id BIGINT, pr DOUBLE")
         return PageRankResult(empty, empty, 0, 0.0)
+
+    # A durable checkpoint cadence is mandatory, not just for resume:
+    # localCheckpoint's LogicalRDD inherits the *estimated* stats of the
+    # plan it truncates, and each iteration's plan multiplies two copies
+    # of the previous state's estimate — the BigInt sizeInBytes doubles
+    # in bit-length per iteration and stats computation itself becomes
+    # the bottleneck (observed: million-digit multiplications by ~iter
+    # 25 over a UDF-derived edge table).  A parquet write+read resets
+    # stats to real file sizes every `interval` iterations, bounding the
+    # blowup at 2^interval × base.
+    if checkpoint is None:
+        import tempfile
+
+        checkpoint = CheckpointManager(
+            spark, tempfile.mkdtemp(prefix="pagerank_ckpt_"),
+            interval=checkpoint_interval)
 
     if gather_mode == "auto":
         gather_mode = "broadcast" if n <= BROADCAST_MAX_VERTICES else "shuffle"
