@@ -62,8 +62,9 @@ def salt_rank_side(ranks_w: DataFrame, hot: DataFrame, num_salts: int) -> DataFr
                 F.when(
                     F.col("is_hot"), F.sequence(F.lit(0), F.lit(num_salts - 1))
                 ).otherwise(F.array(F.lit(0)))
-            ).cast("int"),
+            ),
         )
+        .withColumn("salt", F.col("salt").cast("int"))
         .drop("is_hot")
     )
 

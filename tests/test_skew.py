@@ -1,0 +1,63 @@
+"""Hub-salting equivalence (FIXTURES.md F4 'skew / salting'): the
+salted gather join must produce exactly the same results as the plain
+join, on a power-law graph with a mega-hub."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_spark import datagen, graph, skew
+from pagerank_spark.operators import pagerank
+
+
+@pytest.fixture(scope="module")
+def hub_graph(spark):
+    edges = datagen.power_law_graph(
+        spark, n_vertices=2000, n_edges=20_000, seed=42, hub_fraction=0.3)
+    return graph.prepare(edges)
+
+
+def test_salted_gather_equals_plain(spark, hub_graph):
+    g = hub_graph
+    ranks_w = g.out_deg.select(
+        F.col("id").alias("src"),
+        (F.lit(1.0) / F.col("out_deg")).alias("w"))
+
+    plain = (g.edges.join(ranks_w, "src").groupBy("dst")
+             .agg(F.sum("w").alias("contrib")))
+    hot = skew.hot_vertices(g.out_deg, threshold=50)
+    salted_edges = skew.salt_edges(g.edges, hot, num_salts=8)
+    salted = skew.salted_gather(salted_edges, ranks_w, hot, num_salts=8)
+
+    a = {r["dst"]: r["contrib"] for r in plain.collect()}
+    b = {r["dst"]: r["contrib"] for r in salted.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], rel=1e-12)
+
+
+def test_salt_edges_covers_all_edges(spark, hub_graph):
+    g = hub_graph
+    hot = skew.hot_vertices(g.out_deg, threshold=50)
+    salted = skew.salt_edges(g.edges, hot, num_salts=8)
+    assert salted.count() == g.edges.count()
+    # hot srcs spread across >1 salt; cold srcs all salt 0
+    spread = (salted.join(hot, "src", "left_semi")
+              .select("salt").distinct().count())
+    assert spread > 1
+    cold = (salted.join(hot, "src", "left_anti")
+            .select("salt").distinct().collect())
+    assert [r["salt"] for r in cold] == [0]
+
+
+def test_pagerank_salted_equals_unsalted(spark, hub_graph):
+    g = hub_graph
+    base = pagerank(g, tol=1e-5)
+    salted = pagerank(g, tol=1e-5, salt_threshold=50, num_salts=8)
+    assert base.iterations == salted.iterations
+    a = {r["id"]: r["pr"] for r in base.ranks.collect()}
+    b = {r["id"]: r["pr"] for r in salted.ranks.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12)
