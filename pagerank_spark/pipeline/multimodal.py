@@ -1,0 +1,145 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata, processed by Arrow-batched pandas UDFs
+over ``mapInPandas``.
+
+The image/audio codec libraries are not available in this container,
+so the DECODE step is stubbed (deterministic fake keyed off the bytes,
+or ``NotImplementedError`` when ``require_real_codecs=True``).  The
+Spark-side plumbing — schema, binary Arrow transfer, batch iteration,
+partition-preserving mapInPandas, metadata structs — is real and
+tested; swapping the stub for PIL/libav is a local change inside one
+function.
+
+Schema contract:
+    media(doc_id BIGINT, kind STRING, payload BINARY,
+          meta STRUCT<format STRING, width INT, height INT,
+                      sample_rate INT, n_frames INT>)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("meta", T.StructType([
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ])),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("payload_sha", T.StringType()),
+    T.StructField("features", T.ArrayType(T.FloatType())),
+])
+
+
+def synthesize_media(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Deterministic fake media: payload = utf-8 bytes of the text,
+    metadata derived from stable hashes.  Gives the plumbing a real
+    binary column of realistic size distribution."""
+    h = F.abs(F.xxhash64("text"))
+    return docs.select(
+        "doc_id",
+        F.lit(kind).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("fake/" + kind).alias("format"),
+            (h % 1920 + 1).cast("int").alias("width"),
+            (h % 1080 + 1).cast("int").alias("height"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+            (h % 240 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> "object":
+    """STUB decode — replace with PIL.Image.open / soundfile / pyav.
+
+    Returns a deterministic numpy array shaped off the byte content so
+    downstream feature extraction is testable.
+    """
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    return arr
+
+
+def extract_features(media: DataFrame, n_features: int = 8,
+                     require_real_codecs: bool = False) -> DataFrame:
+    """Per-media feature vectors via mapInPandas (Arrow batches).
+
+    Features (stub): byte-histogram moments over ``n_features`` equal
+    byte-value bins — deterministic, vectorized numpy per batch.  With
+    ``require_real_codecs=True`` raises NotImplementedError where the
+    real decoder would run (the container has no image/audio libs).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            if require_real_codecs:
+                raise NotImplementedError(
+                    "real image/audio codecs are not available in this "
+                    "environment; install PIL/soundfile/pyav and replace "
+                    "_fake_decode")
+            out = {"doc_id": pdf["doc_id"], "kind": pdf["kind"],
+                   "n_bytes": [], "payload_sha": [], "features": []}
+            for payload in pdf["payload"]:
+                buf = bytes(payload)
+                arr = _fake_decode(buf)
+                hist, _ = np.histogram(arr, bins=n_features, range=(0, 256))
+                total = max(len(arr), 1)
+                out["n_bytes"].append(len(buf))
+                out["payload_sha"].append(hashlib.sha256(buf).hexdigest())
+                out["features"].append(
+                    (hist.astype("float32") / total).tolist())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """'Video' frame sampling stub over the binary payload: split the
+    payload into meta.n_frames equal chunks and keep every ``every_n``-th
+    chunk's digest — the real per-frame decode is the stubbed step, the
+    chunk/sample/explode plumbing is the real operator shape."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_sha", T.StringType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_no": [], "frame_sha": []}
+            for doc_id, payload, meta in zip(
+                    pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                buf = bytes(payload)
+                n_frames = max(int(meta["n_frames"]), 1)
+                step = max(len(buf) // n_frames, 1)
+                for f in range(0, n_frames, every_n):
+                    chunk = buf[f * step:(f + 1) * step]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_no"].append(f)
+                    rows["frame_sha"].append(
+                        hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=schema)

@@ -1,0 +1,116 @@
+"""Text analysis operators over a documents table (doc_id, text, ...).
+
+All JVM-side ``pyspark.sql.functions`` expressions — whole-stage
+codegen'd, no Python in the hot path.  Every operator is expressible
+in ANSI SQL so the driver's DuckDB oracle can check it 1:1
+(__spark_entry__.py keeps the two in lockstep).
+
+At 100 TB these are embarrassingly parallel scans: no shuffle at all
+except the optional aggregations; filters/projections push down to
+the parquet/Iceberg scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Deterministic marker-word lists for the language-id heuristic.  A
+# real pipeline would use fastText/CLD3; the contract here is a
+# deterministic, SQL-expressible heuristic (same logic in the DuckDB
+# oracle).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+TOKEN_SPLIT = r"\s+"
+# BPE-ish word/number/punct segmentation used by token_count_bpe.
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _tokens(col):
+    return F.split(F.trim(F.lower(col)), TOKEN_SPLIT)
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, ws_tokens, bpe_tokens, n_chars_m)."""
+    toks = _tokens(F.col("text"))
+    bpe = F.regexp_extract_all("text", F.lit(BPE_REGEX), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("ws_tokens"),
+        F.size(bpe).alias("bpe_tokens"),
+        F.length("text").alias("n_chars_m"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars_m, alpha_ratio, punct_ratio, stop_ratio,
+    mean_word_len, quality) — length/punct/stopword heuristics.
+
+    quality = clamp(0,1) of a linear blend; deterministic and
+    SQL-portable (same formula in the oracle).
+    """
+    length = F.length("text")
+    alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    stop_list = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.array_intersect(toks, stop_list))
+    alpha_ratio = alpha / F.greatest(length, F.lit(1))
+    punct_ratio = punct / F.greatest(length, F.lit(1))
+    stop_ratio = n_stop.cast("double") / F.greatest(n_tok, F.lit(1))
+    mean_word_len = (length - n_tok + 1) / F.greatest(n_tok, F.lit(1))
+    quality = F.least(
+        F.greatest(
+            F.lit(0.0),
+            alpha_ratio * F.lit(0.6) + stop_ratio * F.lit(0.3)
+            - punct_ratio * F.lit(0.5)
+            + F.when((length >= 100) & (length <= 10000), F.lit(0.3))
+               .otherwise(F.lit(0.0)),
+        ),
+        F.lit(1.0),
+    )
+    return docs.select(
+        "doc_id",
+        length.alias("n_chars_m"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang, marker_hits) — argmax marker-word hits with
+    deterministic alphabetical tie-break ('und' when zero hits)."""
+    toks = _tokens(F.col("text"))
+    hit_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(w) for w in markers])
+        # count tokens (with multiplicity) that are marker words
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        hit_cols.append(F.struct((-hits).alias("neg"), F.lit(lang).alias("lang"),
+                                 hits.alias("hits")))
+    best = F.array_min(F.array(*hit_cols))
+    return docs.select(
+        "doc_id",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+         .alias("pred_lang"),
+        best["hits"].alias("marker_hits"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint) — md5 of the normalized text (lowercase,
+    non-alphanumerics collapsed to single spaces, trimmed).  A
+    deterministic document fingerprint: whitespace/punctuation/case
+    variants collide, genuinely different text does not."""
+    normalized = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower("text"), r"[^a-z0-9]+", " "),
+                         r" +", " "))
+    return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))

@@ -1,0 +1,222 @@
+"""Training-data pipeline operators: dedup, similarity, textstats,
+multimodal — against Python oracles and the driver-provided testdata
+tables at sf0.001."""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_spark.pipeline import dedup, multimodal, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+def _mk_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING")
+
+
+# ---------------------------------------------------------------- dedup
+def test_exact_duplicates(spark):
+    d = _mk_docs(spark, ["a b c", "x y z", "a b c", "q", "a b c"])
+    rows = dedup.exact_duplicates(d).collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_ids"] == [0, 2, 4]
+    assert rows[0]["digest"] == hashlib.md5(b"a b c").hexdigest()
+
+
+def test_minhash_signatures_portable(spark):
+    d = _mk_docs(spark, ["the quick brown fox jumps over the lazy dog"])
+    sig = {r["seed"]: r["minhash"]
+           for r in dedup.minhash_signatures(d, num_hashes=4).collect()}
+    toks = "the quick brown fox jumps over the lazy dog".split()
+    shingles = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    for seed in range(4):
+        want = min(hashlib.md5(f"{s}:{seed}".encode()).hexdigest()
+                   for s in shingles)
+        assert sig[seed] == want
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "spark makes large scale data processing simple and fast " \
+           "for everyone using dataframes and sql on clusters"
+    near = base.replace("simple", "easy")
+    far = "completely different words about cooking pasta with tomato " \
+          "sauce and fresh basil leaves in a big pot"
+    d = _mk_docs(spark, [base, near, far])
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in dedup.minhash_candidate_pairs(d).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_ngram_jaccard_vs_oracle(spark):
+    texts = [
+        "a b c d e f g",
+        "a b c d e f h",     # high overlap with 0
+        "z y x w v u t",     # disjoint
+        "a b c d e f g",     # identical to 0
+    ]
+    d = _mk_docs(spark, texts)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(d, threshold=0.0).collect()}
+
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    for a, b in itertools.combinations(range(4), 2):
+        sa, sb = sh(texts[a]), sh(texts[b])
+        inter = len(sa & sb)
+        if inter == 0:
+            assert (a, b) not in got
+        else:
+            want = inter / len(sa | sb)
+            assert got[(a, b)] == pytest.approx(want, abs=1e-6)
+    assert got[(0, 3)] == 1.0
+
+
+def test_simhash_properties(spark):
+    base = "one two three four five six seven eight nine ten " * 3
+    near = base.replace("five", "fivex", 1)
+    far = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    d = _mk_docs(spark, [base, base, near, far])
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(d).collect()}
+    assert sigs[0] == sigs[1]  # identical text, identical signature
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(sigs[0], sigs[2]) < hamming(sigs[0], sigs[3])
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup.simhash_near_pairs(d, max_hamming=8).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    pairs = {(r["vec_a"], r["vec_b"]) for r in
+             dedup.embedding_near_dup_pairs(emb, threshold=0.99).collect()}
+    assert pairs == {(0, 1)}
+
+
+# ------------------------------------------------------------ textstats
+def test_token_counts(spark):
+    d = _mk_docs(spark, ["Hello world, this is 1 test!"])
+    r = textstats.token_counts(d).first()
+    assert r["ws_tokens"] == 6
+    # BPE-ish: Hello world , this is 1 test !
+    assert r["bpe_tokens"] == 8
+    assert r["n_chars_m"] == len("Hello world, this is 1 test!")
+
+
+def test_quality_and_fingerprint(spark):
+    d = _mk_docs(spark, ["The cat and the dog.", "THE CAT AND THE DOG",
+                         "!!! ??? ,,,"])
+    q = {r["doc_id"]: r for r in textstats.quality_scores(d).collect()}
+    assert q[0]["quality"] > q[2]["quality"]  # words beat punctuation soup
+    fp = {r["doc_id"]: r["fingerprint"]
+          for r in textstats.fingerprints(d).collect()}
+    assert fp[0] == fp[1]       # case/punct-insensitive collision
+    assert fp[0] != fp[2]
+
+
+def test_language_id(spark):
+    d = _mk_docs(spark, [
+        "the cat and the dog is happy to see the mouse",
+        "el perro de la casa que los gatos",
+        "zzz qqq www",
+    ])
+    got = {r["doc_id"]: r["pred_lang"]
+           for r in textstats.language_id(d).collect()}
+    assert got[0] == "en"
+    assert got[1] == "es"
+    assert got[2] == "und"
+
+
+# ----------------------------------------------------------- similarity
+def test_cosine_topk_vs_numpy(spark, embeddings):
+    emb_rows = embeddings.orderBy("vec_id").limit(50).collect()
+    mat = np.array([r["embedding"] for r in emb_rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in emb_rows]
+    sub = spark.createDataFrame(
+        [(i, list(map(float, v))) for i, v in zip(ids, mat)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    queries = sub.limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = similarity.cosine_topk(sub, queries, k=3).collect()
+
+    # numpy oracle (float32 matches the stored table dtype)
+    mat32 = mat.astype(np.float32).astype(np.float64)
+    norm = mat32 / np.linalg.norm(mat32, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in range(5):
+        order = [ids[j] for j in np.argsort(-sims[q]) if ids[j] != ids[q]][:3]
+        mine = [r["neighbor_id"] for r in sorted(
+            (x for x in got if x["query_id"] == ids[q]),
+            key=lambda r: r["rank"])]
+        assert mine == order
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    queries = embeddings.limit(10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.cosine_topk(embeddings, queries, k=5).collect()
+    approx = similarity.lsh_topk(embeddings, queries, k=5,
+                                 n_planes=4, n_tables=8).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4  # ANN quality floor at these settings
+
+
+# ----------------------------------------------------------- multimodal
+def test_multimodal_features(spark, docs):
+    media = multimodal.synthesize_media(docs.limit(20))
+    feats = multimodal.extract_features(media, n_features=8).collect()
+    assert len(feats) == 20
+    local = {r["doc_id"]: r["text"] for r in docs.limit(20).collect()}
+    for r in feats:
+        raw = local[r["doc_id"]].encode()
+        assert r["n_bytes"] == len(raw)
+        assert r["payload_sha"] == hashlib.sha256(raw).hexdigest()
+        assert len(r["features"]) == 8
+        assert sum(r["features"]) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_multimodal_real_codecs_stubbed(spark, docs):
+    media = multimodal.synthesize_media(docs.limit(2))
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        multimodal.extract_features(media, require_real_codecs=True).collect()
+
+
+def test_frame_sampling(spark, docs):
+    media = multimodal.synthesize_media(docs.limit(5), kind="video")
+    frames = multimodal.sample_frames(media, every_n=10)
+    rows = frames.collect()
+    metas = {r["doc_id"]: r["meta"]["n_frames"]
+             for r in media.select("doc_id", "meta").collect()}
+    from collections import Counter
+    per_doc = Counter(r["doc_id"] for r in rows)
+    for doc_id, nf in metas.items():
+        assert per_doc[doc_id] == len(range(0, nf, 10))
