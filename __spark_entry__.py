@@ -1,38 +1,585 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship PageRank flow on sf0.001.  ``queries``
+exposes every implemented operator from SURVEY.md §2 (plus the
+mandated training-data pipeline operators) over the driver's testdata
+tables; ``oracle_sql`` gives the DuckDB-equivalent ANSI SQL for every
+query whose math is engine-portable.  Iterative-to-convergence and
+Spark-specific-hash operators are rows-only by design (noted inline).
+
+The graph for the graph-operator queries is derived deterministically
+from the TPC-H-ish tables: edges = distinct (l_suppkey -> o_custkey)
+pairs via the lineitem ⋈ orders join — both ends live in the same
+integer vertex domain, mirroring the reference's dense-id edge list.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+ROUND = 7  # float output rounding, applied identically in both engines
+
+# ------------------------------------------------------------------ helpers
+
+_EDGE_SQL = """
+    SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("l_suppkey").cast("bigint").alias("src"),
+                F.col("o_custkey").cast("bigint").alias("dst"))
+        .distinct()
+    )
+
+
+def _graph(spark: SparkSession, sf_dir: str):
+    from pagerank_spark import graph as G
+
+    return G.prepare(_edges(spark, sf_dir))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+
+
+# ------------------------------------------------------------------ entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank to 1e-10 over the sf0.001-derived repo-style
+    edge graph; returns the top-10 vertices with rounded ranks."""
+    from pagerank_spark.operators import pagerank
+
+    g = _graph(spark, "/root/testdata/sf0.001")
+    res = pagerank(g, tol=1e-10, max_iter=500)
+    return res.top(10).select("id", F.round("pr", ROUND).alias("pr"))
+
+
+# ------------------------------------------------------------------ queries
+
+def q_edge_dedupe(spark, sf_dir):
+    return _edges(spark, sf_dir)
+
+
+def q_out_degree(spark, sf_dir):
+    from pagerank_spark import graph as G
+
+    return G.out_degrees(_edges(spark, sf_dir))
+
+
+def q_in_adjacency(spark, sf_dir):
+    from pagerank_spark import graph as G
+
+    adj = G.in_adjacency(_edges(spark, sf_dir))
+    return adj.select(
+        "dst", F.array_join(F.col("srcs"), ",").alias("srcs_str"))
+
+
+def q_vertex_stats(spark, sf_dir):
+    e = _edges(spark, sf_dir)
+    return e.agg(
+        (F.max(F.greatest("src", "dst")) + F.lit(1)).alias("n_vertices"),
+        F.count(F.lit(1)).alias("n_edges"),
+        (F.max(F.greatest("src", "dst")) + F.lit(1)
+         - F.countDistinct("src")).alias("n_dangling"),
+    )
+
+
+def q_dangling_vertices(spark, sf_dir):
+    from pagerank_spark import graph as G
+
+    g = _graph(spark, sf_dir)
+    domain = spark.range(0, g.n).withColumnRenamed("id", "id")
+    return domain.join(
+        g.out_deg.select("id"), "id", "left_anti").select("id")
+
+
+def q_top5_out_degree(spark, sf_dir):
+    from pagerank_spark import graph as G
+
+    deg = G.out_degrees(_edges(spark, sf_dir))
+    return deg.orderBy(F.desc("out_deg"), F.asc("id")).limit(5)
+
+
+def q_pagerank_k3(spark, sf_dir):
+    from pagerank_spark.operators import pagerank
+
+    g = _graph(spark, sf_dir)
+    res = pagerank(g, max_iter=3)
+    return res.converged_ranks.select(
+        "id", F.round("pr", 9).alias("pr"))
+
+
+def q_pagerank_converged(spark, sf_dir):
+    # rows-only: iterative to convergence, not ANSI-SQL-expressible.
+    from pagerank_spark.operators import pagerank
+
+    g = _graph(spark, sf_dir)
+    res = pagerank(g, tol=1e-10, max_iter=500)
+    return res.ranks.select("id", F.round("pr", ROUND).alias("pr"))
+
+
+def q_connected_components(spark, sf_dir):
+    from pagerank_spark.operators import connected_components
+
+    return connected_components(_edges(spark, sf_dir))
+
+
+def q_label_propagation_k2(spark, sf_dir):
+    from pagerank_spark.operators import label_propagation
+
+    return label_propagation(_edges(spark, sf_dir), max_iter=2)
+
+
+def q_triangle_count(spark, sf_dir):
+    from pagerank_spark.operators.triangles import triangles
+
+    return triangles(_edges(spark, sf_dir)).agg(
+        F.count(F.lit(1)).alias("n_triangles"))
+
+
+def q_doc_token_stats(spark, sf_dir):
+    from pagerank_spark.pipeline import textstats
+
+    t = textstats.token_counts(_docs(spark, sf_dir))
+    return t.select("doc_id",
+                    F.col("ws_tokens").cast("bigint").alias("ws_tokens"),
+                    F.col("bpe_tokens").cast("bigint").alias("bpe_tokens"),
+                    F.col("n_chars_m").cast("bigint").alias("n_chars_m"))
+
+
+def q_doc_quality(spark, sf_dir):
+    from pagerank_spark.pipeline import textstats
+
+    return textstats.quality_scores(_docs(spark, sf_dir))
+
+
+def q_doc_language(spark, sf_dir):
+    from pagerank_spark.pipeline import textstats
+
+    lid = textstats.language_id(_docs(spark, sf_dir))
+    return lid.select("doc_id", "pred_lang",
+                      F.col("marker_hits").cast("bigint").alias("marker_hits"))
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    from pagerank_spark.pipeline import textstats
+
+    return textstats.fingerprints(_docs(spark, sf_dir))
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    from pagerank_spark.pipeline import dedup
+
+    d = dedup.exact_duplicates(_docs(spark, sf_dir))
+    return d.select("digest", F.col("n_docs").cast("bigint").alias("n_docs"),
+                    F.array_join(F.transform("doc_ids",
+                                             lambda x: x.cast("string")), ",")
+                    .alias("doc_ids_str"))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from pagerank_spark.pipeline import dedup
+
+    sig = dedup.minhash_signatures(_docs(spark, sf_dir), num_hashes=6)
+    return sig.select("doc_id", F.col("seed").cast("bigint").alias("seed"),
+                      "minhash")
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    from pagerank_spark.pipeline import dedup
+
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from pagerank_spark.pipeline import dedup
+
+    emb = _embs(spark, sf_dir).where(F.col("vec_id") < 1000)
+    return dedup.embedding_near_dup_pairs(emb, threshold=0.99)
+
+
+def q_ann_topk(spark, sf_dir):
+    from pagerank_spark.pipeline import similarity
+
+    emb = _embs(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.cosine_topk(emb, queries, k=5)
+    return out.select("query_id", "neighbor_id", "cosine",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    # rows-only: LSH bucketing is seed-deterministic but the recall set
+    # is approximate by construction; exactness is checked in pytest
+    # against cosine_topk instead.
+    from pagerank_spark.pipeline import similarity
+
+    emb = _embs(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.lsh_topk(emb, queries, k=5, n_planes=4, n_tables=8)
+    return out.select("query_id", "neighbor_id", "cosine",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    # rows-only: xxhash64 is Spark-specific (not portable to DuckDB);
+    # simhash correctness is property-tested in pytest.
+    from pagerank_spark.pipeline import dedup
+
+    p = dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return p.select("doc_a", "doc_b",
+                    F.col("hamming").cast("bigint").alias("hamming"))
+
+
+def q_media_metadata(spark, sf_dir):
+    from pagerank_spark.pipeline import multimodal
+
+    media = multimodal.synthesize_media(_docs(spark, sf_dir))
+    feats = multimodal.extract_features(media, n_features=8)
+    return feats.select("doc_id",
+                        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+                        "payload_sha")
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"),
+                          "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), ROUND).alias("sum_value"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "edge_dedupe": q_edge_dedupe,
+        "out_degree": q_out_degree,
+        "in_adjacency": q_in_adjacency,
+        "vertex_stats": q_vertex_stats,
+        "dangling_vertices": q_dangling_vertices,
+        "top5_out_degree": q_top5_out_degree,
+        "pagerank_k3": q_pagerank_k3,
+        "pagerank_converged": q_pagerank_converged,
+        "connected_components": q_connected_components,
+        "label_propagation_k2": q_label_propagation_k2,
+        "triangle_count": q_triangle_count,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "doc_language": q_doc_language,
+        "doc_fingerprints": q_doc_fingerprints,
+        "exact_dup_groups": q_exact_dup_groups,
+        "minhash_signatures": q_minhash_signatures,
+        "jaccard_pairs": q_jaccard_pairs,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "media_metadata": q_media_metadata,
+        "events_hourly": q_events_hourly,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------------ oracles
+
+_SHINGLE_SQL = """
+    doc_sh AS (
+        SELECT doc_id, unnest(CASE
+            WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+                generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+            ELSE [array_to_string(toks, ' ')] END) AS shingle
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS toks
+              FROM documents)
+    )
+"""
+
+_EN_STOPS = "['the','and','of','to','is']"
+
+_LANG_LISTS = {
+    "de": "['der','die','und','das','ist']",
+    "en": "['the','and','of','to','is']",
+    "es": "['el','la','de','que','los']",
+    "fr": "['le','la','et','les','des']",
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    edge_cte = f"WITH edges AS ({_EDGE_SQL})"
+    lang_hits = ", ".join(
+        f"len(list_filter(toks, t -> list_contains({lst}, t))) AS hits_{lang}"
+        for lang, lst in _LANG_LISTS.items())
+    lang_union = " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS lang, hits_{lang} AS hits FROM hits"
+        for lang in _LANG_LISTS)
+    return {
+        "edge_dedupe": f"{edge_cte} SELECT src, dst FROM edges",
+        "out_degree": f"""
+            {edge_cte}
+            SELECT src AS id, count(*) AS out_deg FROM edges GROUP BY src
+        """,
+        "in_adjacency": f"""
+            {edge_cte}
+            SELECT dst, string_agg(src::VARCHAR, ',' ORDER BY src) AS srcs_str
+            FROM edges GROUP BY dst
+        """,
+        "vertex_stats": f"""
+            {edge_cte}
+            SELECT max(greatest(src, dst)) + 1 AS n_vertices,
+                   count(*) AS n_edges,
+                   max(greatest(src, dst)) + 1
+                       - count(DISTINCT src) AS n_dangling
+            FROM edges
+        """,
+        "dangling_vertices": f"""
+            {edge_cte},
+            n AS (SELECT max(greatest(src, dst)) + 1 AS n FROM edges),
+            verts AS (SELECT unnest(generate_series(0,
+                          (SELECT n - 1 FROM n)))::BIGINT AS id)
+            SELECT v.id FROM verts v
+            LEFT JOIN (SELECT DISTINCT src FROM edges) s ON v.id = s.src
+            WHERE s.src IS NULL
+        """,
+        "top5_out_degree": f"""
+            {edge_cte}
+            SELECT src AS id, count(*) AS out_deg FROM edges GROUP BY src
+            ORDER BY out_deg DESC, id ASC LIMIT 5
+        """,
+        "pagerank_k3": f"""
+            {edge_cte},
+            n AS (SELECT (max(greatest(src, dst)) + 1)::DOUBLE AS n FROM edges),
+            outd AS (SELECT src AS id, count(*)::DOUBLE AS od
+                     FROM edges GROUP BY src),
+            verts AS (SELECT unnest(generate_series(0,
+                          (SELECT n::BIGINT - 1 FROM n)))::BIGINT AS id),
+            -- iter 1 from the zero vector: gather 0, dangling skipped
+            p1 AS (SELECT id, 0.15 / (SELECT n FROM n) AS pr FROM verts),
+            d2 AS (SELECT coalesce(sum(p.pr), 0) AS d FROM p1 p
+                   LEFT JOIN outd o ON p.id = o.id WHERE o.id IS NULL),
+            g2 AS (SELECT e.dst AS id, sum(p.pr / o.od) AS c
+                   FROM edges e JOIN p1 p ON e.src = p.id
+                   JOIN outd o ON e.src = o.id GROUP BY e.dst),
+            p2 AS (SELECT v.id,
+                          (coalesce(g.c, 0) + (SELECT d FROM d2) / (SELECT n FROM n))
+                              * 0.85 + 0.15 / (SELECT n FROM n) AS pr
+                   FROM verts v LEFT JOIN g2 g ON v.id = g.id),
+            d3 AS (SELECT coalesce(sum(p.pr), 0) AS d FROM p2 p
+                   LEFT JOIN outd o ON p.id = o.id WHERE o.id IS NULL),
+            g3 AS (SELECT e.dst AS id, sum(p.pr / o.od) AS c
+                   FROM edges e JOIN p2 p ON e.src = p.id
+                   JOIN outd o ON e.src = o.id GROUP BY e.dst),
+            p3 AS (SELECT v.id,
+                          (coalesce(g.c, 0) + (SELECT d FROM d3) / (SELECT n FROM n))
+                              * 0.85 + 0.15 / (SELECT n FROM n) AS pr
+                   FROM verts v LEFT JOIN g3 g ON v.id = g.id)
+            SELECT id, round(pr, 9) AS pr FROM p3
+        """,
+        "connected_components": f"""
+            WITH RECURSIVE edges AS ({_EDGE_SQL}),
+            sym AS (SELECT src, dst FROM edges WHERE src <> dst
+                    UNION
+                    SELECT dst, src FROM edges WHERE src <> dst),
+            verts AS (SELECT DISTINCT src AS id FROM sym)
+            , reach(id, r) AS (
+                SELECT id, id FROM verts
+                UNION
+                SELECT re.id, s.dst FROM reach re JOIN sym s ON re.r = s.src
+            )
+            SELECT id, min(r) AS component FROM reach GROUP BY id
+        """,
+        "label_propagation_k2": f"""
+            {edge_cte},
+            sym AS (SELECT src, dst FROM edges WHERE src <> dst
+                    UNION
+                    SELECT dst, src FROM edges WHERE src <> dst),
+            l0 AS (SELECT DISTINCT src AS id FROM sym),
+            h1 AS (SELECT s.dst AS id, l.id AS label, count(*) AS cnt
+                   FROM sym s JOIN l0 l ON s.src = l.id GROUP BY s.dst, l.id),
+            l1 AS (SELECT id, label FROM (
+                       SELECT id, label, row_number() OVER (
+                           PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+                       FROM h1) WHERE rn = 1),
+            h2 AS (SELECT s.dst AS id, l.label, count(*) AS cnt
+                   FROM sym s JOIN l1 l ON s.src = l.id GROUP BY s.dst, l.label),
+            l2 AS (SELECT id, label FROM (
+                       SELECT id, label, row_number() OVER (
+                           PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+                       FROM h2) WHERE rn = 1)
+            SELECT id, label FROM l2
+        """,
+        "triangle_count": f"""
+            {edge_cte},
+            und AS (SELECT DISTINCT least(src, dst) AS lo,
+                                    greatest(src, dst) AS hi
+                    FROM edges WHERE src <> dst)
+            SELECT count(*) AS n_triangles
+            FROM und e1
+            JOIN und e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+            JOIN und e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+        """,
+        "doc_token_stats": r"""
+            SELECT doc_id,
+                   len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT
+                       AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0))::BIGINT
+                       AS bpe_tokens,
+                   length(text)::BIGINT AS n_chars_m
+            FROM documents
+        """,
+        "doc_quality": rf"""
+            WITH base AS (
+                SELECT doc_id,
+                       length(text)::DOUBLE AS len,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                           AS alpha,
+                       length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                           AS punct,
+                       string_split_regex(trim(lower(text)), '\s+') AS toks
+                FROM documents),
+            m AS (
+                SELECT doc_id, len,
+                       alpha / greatest(len, 1) AS alpha_ratio,
+                       punct / greatest(len, 1) AS punct_ratio,
+                       len(list_distinct(list_filter(toks,
+                           t -> list_contains({_EN_STOPS}, t))))::DOUBLE
+                           / greatest(len(toks), 1) AS stop_ratio,
+                       (len - len(toks) + 1) / greatest(len(toks), 1)
+                           AS mean_word_len
+                FROM base)
+            SELECT doc_id, len::BIGINT AS n_chars_m,
+                   round(alpha_ratio, 6) AS alpha_ratio,
+                   round(punct_ratio, 6) AS punct_ratio,
+                   round(stop_ratio, 6) AS stop_ratio,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   round(least(greatest(0.0,
+                       alpha_ratio * 0.6 + stop_ratio * 0.3
+                       - punct_ratio * 0.5
+                       + CASE WHEN len BETWEEN 100 AND 10000
+                              THEN 0.3 ELSE 0.0 END), 1.0), 6) AS quality
+            FROM m
+        """,
+        "doc_language": rf"""
+            WITH base AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+') AS toks
+                FROM documents),
+            hits AS (SELECT doc_id, {lang_hits} FROM base),
+            unioned AS (
+                {lang_union}),
+            ranked AS (
+                SELECT doc_id, lang, hits, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+                FROM unioned)
+            SELECT doc_id,
+                   CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang,
+                   hits::BIGINT AS marker_hits
+            FROM ranked WHERE rn = 1
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')))
+                       AS fingerprint
+            FROM documents
+        """,
+        "exact_dup_groups": """
+            SELECT md5(text) AS digest, count(*)::BIGINT AS n_docs,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+                       AS doc_ids_str
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "minhash_signatures": f"""
+            WITH {_SHINGLE_SQL},
+            seeds AS (SELECT unnest(generate_series(0, 5))::BIGINT AS seed)
+            SELECT d.doc_id, s.seed,
+                   min(md5(d.shingle || ':' || s.seed::VARCHAR)) AS minhash
+            FROM doc_sh d CROSS JOIN seeds s
+            GROUP BY d.doc_id, s.seed
+        """,
+        "jaccard_pairs": f"""
+            WITH {_SHINGLE_SQL},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM doc_sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS i
+                FROM doc_sh a JOIN doc_sh b ON a.shingle = b.shingle
+                WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b,
+                   round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5
+        """,
+        "embedding_near_dups": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.emb, b.emb)
+                         / (sqrt(list_dot_product(a.emb, a.emb))
+                            * sqrt(list_dot_product(b.emb, b.emb))), 6)
+                       AS cosine
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS emb
+                  FROM embeddings WHERE vec_id < 1000) a
+            JOIN (SELECT vec_id, embedding::DOUBLE[] AS emb
+                  FROM embeddings WHERE vec_id < 1000) b
+              ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.emb, b.emb)
+                        / (sqrt(list_dot_product(a.emb, a.emb))
+                           * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.99
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS emb
+                       FROM embeddings WHERE vec_id < 10),
+            n AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS emb
+                  FROM embeddings),
+            scored AS (
+                SELECT q.query_id, n.neighbor_id,
+                       round(list_dot_product(q.emb, n.emb)
+                             / (sqrt(list_dot_product(q.emb, q.emb))
+                                * sqrt(list_dot_product(n.emb, n.emb))), 6)
+                           AS cosine
+                FROM q CROSS JOIN n WHERE q.query_id <> n.neighbor_id),
+            ranked AS (
+                SELECT query_id, neighbor_id, cosine, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored)
+            SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "media_metadata": """
+            SELECT doc_id,
+                   octet_length(encode(text))::BIGINT AS n_bytes,
+                   sha256(text) AS payload_sha
+            FROM documents
+        """,
+        "events_hourly": f"""
+            SELECT strftime(date_trunc('hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, count(*)::BIGINT AS n,
+                   round(sum(value), {ROUND}) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+    }
