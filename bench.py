@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+plus detail fields (pagerank iterations / edges-per-sec-per-iteration —
+the north-star throughput metric).  Scaling evidence (same job at two
+parallelism levels) lives in bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
+
+    from pagerank_spark.session import get_spark
+    from pagerank_spark import datagen, extraction, graph
+    from pagerank_spark.operators import pagerank, connected_components
+    from pagerank_spark.operators.triangles import triangles
+    from pagerank_spark.operators.labelprop import label_propagation
+    from pagerank_spark.pipeline import dedup, similarity, textstats
+
+    spark = get_spark(
+        app_name="pagerank_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "48g"),
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+
+    import __spark_entry__ as entry_mod
+
+    timings: dict[str, float] = {}
+    detail: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # -- graph suite ------------------------------------------------------
+    edges = entry_mod._edges(spark, sf_dir)
+    g = timed("graph_build", lambda: graph.prepare(edges))
+    n_edges = g.edges.count()
+
+    res = timed("pagerank_1e10",
+                lambda: pagerank(g, tol=1e-10, max_iter=500,
+                                 checkpoint_interval=16))
+    detail["pagerank_iterations"] = res.iterations
+    detail["pagerank_final_l1"] = res.final_l1
+    detail["n_edges"] = n_edges
+    detail["n_vertices"] = g.n
+    detail["pagerank_edges_per_sec_per_iter"] = round(
+        n_edges * res.iterations / timings["pagerank_1e10"], 1)
+
+    timed("connected_components",
+          lambda: connected_components(g.edges).select(
+              F.countDistinct("component")).first())
+    timed("triangle_count", lambda: triangles(g.edges).count())
+    timed("label_propagation_k2",
+          lambda: label_propagation(g.edges, max_iter=2).count())
+
+    # -- extraction stage (pandas-UDF path) -------------------------------
+    files, _ = datagen.repo_files_corpus(
+        spark, n_repos=500, files_per_repo=6, seed=42, cross_refs_per_file=4)
+    files = files.repartition(max(cpus, 16)).persist()
+    files.count()
+    timed("extraction_edges",
+          lambda: extraction.derive_edges(files).count())
+
+    # -- documents / embeddings suite -------------------------------------
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").persist()
+    docs.count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).persist()
+    emb.count()
+
+    timed("doc_token_stats", lambda: textstats.token_counts(docs).count())
+    timed("doc_quality", lambda: textstats.quality_scores(docs).count())
+    timed("minhash_candidates",
+          lambda: dedup.minhash_candidate_pairs(docs).count())
+    timed("jaccard_pairs",
+          lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.8).count())
+    timed("simhash_pairs",
+          lambda: dedup.simhash_near_pairs(docs, max_hamming=3).count())
+
+    queries_df = emb.limit(50).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    timed("ann_topk",
+          lambda: similarity.cosine_topk(emb, queries_df, k=10).count())
+    timed("ann_lsh_topk",
+          lambda: similarity.lsh_topk(emb, queries_df, k=10,
+                                      n_planes=4, n_tables=8).count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "pagerank_spark_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "detail": detail,
+    }))
+
+
+if __name__ == "__main__":
+    main()

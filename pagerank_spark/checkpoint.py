@@ -44,12 +44,19 @@ class CheckpointManager:
     def should_checkpoint(self, it: int) -> bool:
         return it % self.interval == 0
 
-    def write_state(self, df: DataFrame, it: int) -> DataFrame:
+    def write_state(self, df: DataFrame, it: int,
+                    target_partitions: int | None = None) -> DataFrame:
         """Write state for iteration ``it`` and return the re-read frame
-        (lineage truncated).  The write carries ``part_id`` lineage."""
+        (lineage truncated).  The write carries ``part_id`` lineage.
+
+        ``target_partitions``: coalesce the write for small states — a
+        15k-row state does not need 32 files; callers size this as
+        ~rows/500k (min 1)."""
         path = self._state_dir(it)
-        (df.withColumn("part_id", F.spark_partition_id())
-           .write.mode("overwrite").parquet(path))
+        out_df = df.withColumn("part_id", F.spark_partition_id())
+        if target_partitions is not None:
+            out_df = out_df.coalesce(max(int(target_partitions), 1))
+        out_df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path).drop("part_id")
         return out
 
@@ -74,16 +81,26 @@ class CheckpointManager:
         return its[-1] if its else None
 
     # -- metrics ---------------------------------------------------------
+    # Metrics are driver-side scalars; they are written as plain JSON
+    # files directly (a Spark job per metrics row costs seconds of
+    # scheduling for bytes of data).
     def write_metrics(self, it: int, metrics: dict) -> None:
-        row = {"iteration": it, **{k: float(v) if isinstance(v, (int, float)) else v
-                                    for k, v in metrics.items()}}
-        df = self.spark.createDataFrame([row])
-        df.coalesce(1).write.mode("overwrite").parquet(self._metrics_dir(it))
+        import json
+
+        row = {"iteration": it,
+               **{k: float(v) if isinstance(v, (int, float)) else v
+                  for k, v in metrics.items()}}
+        d = self._metrics_dir(it)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, ".metrics.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(row, f)
+        os.replace(tmp, os.path.join(d, "metrics.json"))
 
     def read_metrics(self) -> DataFrame:
         base = os.path.join(self.root, "metrics")
-        return self.spark.read.option("basePath", base).parquet(
-            os.path.join(base, "iter=*"))
+        return self.spark.read.json(
+            os.path.join(base, "iter=*", "metrics.json"))
 
     # -- gc ---------------------------------------------------------------
     def prune_states_before(self, it: int) -> None:

@@ -166,9 +166,39 @@ def prepare(edges_raw: DataFrame, partitions: int | None = None,
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = dedupe_edges(edges_raw).repartition(partitions, "dst")
     if persist:
-        edges = edges.persist()
+        # Eager truncation: iterative operators re-analyze the edge
+        # plan EVERY iteration; materializing it once behind a
+        # LogicalRDD keeps per-iteration planning O(iteration plan),
+        # independent of how deep the upstream (e.g. extraction)
+        # pipeline was.
+        edges = edges.localCheckpoint(eager=True)
     deg = out_degrees(edges)
     if persist:
         deg = deg.persist()
     n = num_vertices(edges)
     return Graph(edges=edges, out_deg=deg, n=n)
+
+
+def prepare_prebuilt(edges_unique: DataFrame, persist: bool = True,
+                     partitions: int | None = None) -> Graph:
+    """Build a :class:`Graph` from an ALREADY-DEDUPED edge table (e.g.
+    one written by a previous ``prepare`` run, or a curated Iceberg
+    table).  Skips the dedupe shuffle and the repartition: the
+    broadcast-gather path only needs the groupBy(dst) partial-agg
+    exchange, whose input is bounded by |distinct dst per partition|,
+    so the file partitioning is good enough.  Uses the columnar SQL
+    cache (compressed) rather than an RDD localCheckpoint — at 1e8+
+    rows the columnar cache is several times smaller."""
+    edges = edges_unique
+    if partitions is not None:
+        # The cached edge table's partition count caps the gather
+        # stage's parallelism every iteration — size it to the
+        # cluster (2-4x total cores), not to the input file splits.
+        edges = edges.repartition(partitions)
+    if persist:
+        edges = edges.persist()
+        edges.count()
+    deg = out_degrees(edges)
+    if persist:
+        deg = deg.persist()
+    return Graph(edges=edges, out_deg=deg, n=num_vertices(edges))

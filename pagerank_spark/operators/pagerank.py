@@ -205,9 +205,13 @@ def pagerank(
         # manager says so; eager localCheckpoint (in-memory RDD with a
         # fresh LogicalRDD plan) otherwise.
         if checkpoint is not None and checkpoint.should_checkpoint(it):
-            new_state = checkpoint.write_state(new_state, it).persist()
+            new_state = checkpoint.write_state(
+                new_state, it,
+                target_partitions=min(max(n // 500_000, 1), 2000)).persist()
         else:
-            new_state = new_state.localCheckpoint(eager=True)
+            # lazy: the truncated RDD materializes inside the agg job
+            # below — one Spark job per iteration instead of two.
+            new_state = new_state.localCheckpoint(eager=False)
 
         agg = _state_agg(new_state)
         l1, next_dangling, sum_pr = agg["l1"], agg["dangling"], agg["sum_pr"]

@@ -61,44 +61,46 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFr
     )
 
 
-def _hyperplane_sign(emb, plane: int, seed: int):
-    """sign(Σ_d emb[d] · h(d, plane)) with h a portable ±1 hash:
-    +1 iff the first hex digit of md5("<d>:<plane>:<seed>") is odd.
+def _plane_signs(plane: int, seed: int, dims: int) -> list[float]:
+    """Deterministic portable ±1 sign vector for one hyperplane:
+    sign(d) = +1 iff the first hex digit of md5("<d>:<plane>:<seed>")
+    is odd (1-based d).  Computed ONCE on the driver and embedded as a
+    constant array literal — the executor-side cost is a pure
+    zip_with/aggregate fold, no hashing in the hot path."""
+    import hashlib
 
-    Expressed with zip_with over the dimension-index array so the whole
-    projection runs in codegen.
-    """
-    dims = F.transform(F.sequence(F.lit(1), F.size(emb)),
-                       lambda i: i.cast("string"))
-    signs = F.transform(
-        dims,
-        lambda d: F.when(
-            F.conv(F.substring(F.md5(F.concat_ws(
-                ":", d, F.lit(str(plane)), F.lit(str(seed)))), 1, 1), 16, 10)
-            .cast("int") % 2 == 1,
-            F.lit(1.0)).otherwise(F.lit(-1.0)),
-    )
+    return [
+        1.0 if int(hashlib.md5(f"{d}:{plane}:{seed}".encode())
+                   .hexdigest()[0], 16) % 2 == 1 else -1.0
+        for d in range(1, dims + 1)
+    ]
+
+
+def _hyperplane_sign(emb, plane: int, seed: int, dims: int):
+    signs = F.array(*[F.lit(s) for s in _plane_signs(plane, seed, dims)])
     proj = F.aggregate(F.zip_with(emb, signs, lambda x, s: x * s),
                        F.lit(0.0), lambda acc, v: acc + v)
     return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
-def lsh_bucket_column(emb, n_planes: int = 8, seed: int = 42):
+def lsh_bucket_column(emb, n_planes: int = 8, seed: int = 42, dims: int = 64):
     """Bucket id in [0, 2^n_planes) from random-hyperplane signs."""
     bucket = F.lit(0)
     for p in range(n_planes):
-        bucket = bucket * F.lit(2) + _hyperplane_sign(emb, p, seed)
+        bucket = bucket * F.lit(2) + _hyperplane_sign(emb, p, seed, dims)
     return bucket
 
 
 def lsh_index(embeddings: DataFrame, n_planes: int = 8,
               n_tables: int = 2, seed: int = 42) -> DataFrame:
     """(vec_id, embedding, table, bucket) — one row per table."""
+    first = embeddings.select("embedding").first()
+    dims = len(first["embedding"]) if first else 1
     tables = [
         embeddings.select(
             "vec_id", "embedding", F.lit(t).alias("table"),
-            lsh_bucket_column(F.col("embedding"), n_planes, seed + 1000 * t)
-            .alias("bucket"))
+            lsh_bucket_column(F.col("embedding"), n_planes, seed + 1000 * t,
+                              dims).alias("bucket"))
         for t in range(n_tables)
     ]
     out = tables[0]
