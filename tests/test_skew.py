@@ -52,9 +52,11 @@ def test_salt_edges_covers_all_edges(spark, hub_graph):
 
 
 def test_pagerank_salted_equals_unsalted(spark, hub_graph):
+    # fixed 20-iteration horizon: equivalence of the salted plan is
+    # exact at every iterate, so a full convergence run adds nothing.
     g = hub_graph
-    base = pagerank(g, tol=1e-5)
-    salted = pagerank(g, tol=1e-5, salt_threshold=50, num_salts=8)
+    base = pagerank(g, max_iter=20)
+    salted = pagerank(g, max_iter=20, salt_threshold=50, num_salts=8)
     assert base.iterations == salted.iterations
     a = {r["id"]: r["pr"] for r in base.ranks.collect()}
     b = {r["id"]: r["pr"] for r in salted.ranks.collect()}

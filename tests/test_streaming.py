@@ -1,0 +1,55 @@
+"""Structured Streaming faces: the same transformation over a file
+stream (availableNow) must equal its batch answer."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from pagerank_spark import streaming
+
+SF = "/root/testdata/sf0.001"
+
+
+def _stage_event_chunks(spark, tmp_path, n_chunks=3):
+    src = spark.read.parquet(f"{SF}/events.parquet")
+    out = str(tmp_path / "events_stream")
+    (src.withColumn("chunk", F.pmod(F.col("event_id"), F.lit(n_chunks)))
+        .repartition("chunk")
+        .write.partitionBy("chunk").mode("overwrite").parquet(out))
+    # partitioned dirs act as the arriving files
+    return src, out + "/chunk=*"
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    batch_src, glob = _stage_event_chunks(spark, tmp_path)
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in streaming.windowed_event_counts(batch_src).collect()
+    }
+
+    stream = streaming.read_events_stream(spark, glob)
+    assert stream.isStreaming
+    agg = streaming.windowed_event_counts(stream)
+    streaming.run_stream_to_memory(agg, "win_counts", "complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in spark.table("win_counts").collect()
+    }
+    assert got == want
+
+
+def test_streaming_out_degrees_equals_batch(spark, tmp_path):
+    edges = spark.createDataFrame(
+        [(i % 5, (i * 7) % 11) for i in range(200)], "src BIGINT, dst BIGINT")
+    out = str(tmp_path / "edge_log")
+    edges.repartition(4).write.mode("overwrite").parquet(out)
+
+    want = {r["id"]: r["out_deg"]
+            for r in streaming.streaming_out_degrees(edges).collect()}
+    stream = streaming.read_edges_stream(spark, out)
+    deg = streaming.streaming_out_degrees(stream)
+    streaming.run_stream_to_memory(deg, "deg_counts", "complete")
+    got = {r["id"]: r["out_deg"] for r in spark.table("deg_counts").collect()}
+    assert got == want
