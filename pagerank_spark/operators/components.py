@@ -82,6 +82,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
     checkpoint: CheckpointManager | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """(id, component) for every vertex incident to an edge; component
     label = min vertex id in the component (FIXTURES.md F4 contract).
@@ -105,9 +106,13 @@ def connected_components(
         .persist()
     )
 
-    cur = symmetrize(edges).persist()
+    if resume and checkpoint.latest_iteration() is not None:
+        it = checkpoint.latest_iteration()
+        cur = checkpoint.read_state(it).persist()
+    else:
+        it = 0
+        cur = symmetrize(edges).persist()
     prev_sig = _edge_checksum(cur)
-    it = 0
     while it < max_iter:
         it += 1
         ls = _large_star(cur)

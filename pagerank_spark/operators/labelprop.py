@@ -32,6 +32,7 @@ def label_propagation(
     edges: DataFrame,
     max_iter: int = 20,
     checkpoint: CheckpointManager | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """(id, label) for every vertex incident to an edge."""
     if checkpoint is None:
@@ -42,16 +43,20 @@ def label_propagation(
         checkpoint = CheckpointManager(
             edges.sparkSession, tempfile.mkdtemp(prefix="lpa_ckpt_"), interval=8)
     und = symmetrize(edges).persist()
-    labels = (
-        und.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .persist()
-    )
+    if resume and checkpoint.latest_iteration() is not None:
+        it = checkpoint.latest_iteration()
+        labels = checkpoint.read_state(it).select("id", "label").persist()
+    else:
+        it = 0
+        labels = (
+            und.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("label", F.col("id"))
+            .persist()
+        )
 
     seen_sigs: set[tuple[int, int]] = set()
     prev_cached = labels
-    it = 0
     while it < max_iter:
         it += 1
         lab_src = labels.select(F.col("id").alias("src"), "label")

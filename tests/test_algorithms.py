@@ -110,3 +110,34 @@ def test_triangle_direction_invariance(spark):
     flipped = [(1, 0), (1, 2), (0, 2), (3, 2)]
     assert triangle_count(edges_df(spark, edges)) == 1
     assert triangle_count(edges_df(spark, flipped)) == 1
+
+
+def test_cc_resume(spark, tmp_path):
+    from pagerank_spark.checkpoint import CheckpointManager
+    edges = _clique(range(6)) + [(20, 21), (21, 22)]
+    df = edges_df(spark, edges)
+    full = {r["id"]: r["component"] for r in connected_components(df).collect()}
+
+    ck = CheckpointManager(spark, str(tmp_path / "cc"), interval=1)
+    connected_components(df, max_iter=1, checkpoint=ck)
+    assert ck.latest_iteration() == 1
+    resumed = {r["id"]: r["component"]
+               for r in connected_components(df, checkpoint=ck,
+                                             resume=True).collect()}
+    assert resumed == full
+
+
+def test_lpa_resume(spark, tmp_path):
+    from pagerank_spark.checkpoint import CheckpointManager
+    from oracles import label_propagation_oracle
+    edges = _clique(range(5)) + _clique(range(10, 14))
+    df = edges_df(spark, edges)
+    full = {r["id"]: r["label"] for r in label_propagation(df).collect()}
+
+    ck = CheckpointManager(spark, str(tmp_path / "lpa"), interval=1)
+    label_propagation(df, max_iter=1, checkpoint=ck)
+    assert ck.latest_iteration() == 1
+    resumed = {r["id"]: r["label"]
+               for r in label_propagation(df, checkpoint=ck,
+                                          resume=True).collect()}
+    assert resumed == full
