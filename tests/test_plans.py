@@ -1,0 +1,59 @@
+"""Physical-plan shape assertions — the "is this the plan you'd want
+at 100 TB" checks (broadcast where intended, pruning reaching scans,
+no cartesian products in the candidate-pair joins)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from conftest import edges_df
+from oracles import F2_EDGES
+from pagerank_spark import graph
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_gather_broadcast_join_shape(spark):
+    g = graph.prepare(edges_df(spark, F2_EDGES))
+    ranks_w = g.out_deg.select(
+        F.col("id").alias("src"), (F.lit(1.0) / F.col("out_deg")).alias("w"))
+    gathered = (g.edges.join(F.broadcast(ranks_w), "src")
+                .groupBy("dst").agg(F.sum("w").alias("contrib")))
+    plan = _physical(gathered)
+    assert "BroadcastHashJoin" in plan
+    # partial aggregation (map-side combine) before the exchange
+    assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_minhash_pairs_no_cartesian(spark):
+    from pagerank_spark.pipeline import dedup
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c e")], "doc_id BIGINT, text STRING")
+    plan = _physical(dedup.minhash_candidate_pairs(docs))
+    assert "CartesianProduct" not in plan
+    plan2 = _physical(dedup.ngram_jaccard_pairs(docs, 0.1))
+    assert "CartesianProduct" not in plan2
+
+
+def test_parquet_filter_pushdown(spark, tmp_path):
+    path = str(tmp_path / "edges.parquet")
+    edges_df(spark, F2_EDGES).write.parquet(path)
+    df = spark.read.parquet(path).where(F.col("src") > 1).select("src")
+    plan = _physical(df)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "GreaterThan(src,1)" in m.group(1)
+    m2 = re.search(r"ReadSchema: (struct<[^>]*>)", plan)
+    assert m2 and "dst" not in m2.group(1)
+
+
+def test_extraction_ownership_broadcast(spark):
+    from pagerank_spark import datagen, extraction
+
+    files, _ = datagen.repo_files_corpus(spark, seed=42)
+    plan = _physical(extraction.derive_edges(files))
+    assert "BroadcastHashJoin" in plan
