@@ -264,6 +264,33 @@ def q_media_metadata(spark, sf_dir):
                         "payload_sha")
 
 
+def q_events_sessions(spark, sf_dir):
+    """Sessionize events per user with a 30-minute inactivity gap
+    (gaps-and-islands via lag + cumulative sum — the batch face of
+    session windowing)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = (secs - F.lag(secs).over(w)) > F.lit(1800)
+    sess = (
+        ev.withColumn("new_sess", F.coalesce(gap.cast("int"), F.lit(1)))
+        .withColumn("session_no", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("start"),
+             F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("end"),
+             F.round(F.sum("value"), ROUND).alias("sum_value"))
+        .select("user_id", F.col("session_no").cast("bigint").alias("session_no"),
+                "n_events", "start", "end", "sum_value")
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return (
@@ -302,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "media_metadata": q_media_metadata,
         "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
     }
 
 
@@ -585,5 +613,28 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*)::BIGINT AS n,
                    round(sum(value), {ROUND}) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": f"""
+            WITH marked AS (
+                SELECT user_id, ts, value, event_id,
+                       CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                            THEN 1
+                            WHEN lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id)
+                                IS NULL
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events),
+            sess AS (
+                SELECT user_id, ts, value,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+                FROM marked)
+            SELECT user_id, session_no::BIGINT AS session_no,
+                   count(*)::BIGINT AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS "end",
+                   round(sum(value), {ROUND}) AS sum_value
+            FROM sess GROUP BY user_id, session_no
         """,
     }

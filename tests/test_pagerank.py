@@ -131,3 +131,16 @@ def test_checkpoint_resume_bit_identical(spark, tmp_path):
     assert full_ck.committed_iterations() == list(range(1, 31))
     mrows = full_ck.read_metrics().select("iteration").collect()
     assert sorted(r["iteration"] for r in mrows) == list(range(1, 31))
+
+
+def test_checkpoint_carries_partition_lineage(spark, tmp_path):
+    # per-partition lineage: every state file row records the writing
+    # partition id; metrics record the partition count.
+    g = graph.prepare(edges_df(spark, F2_EDGES))
+    ck = CheckpointManager(spark, str(tmp_path / "lin"), interval=1)
+    pagerank(g, max_iter=3, checkpoint=ck)
+    raw = spark.read.parquet(str(tmp_path / "lin" / "state" / "iter=3"))
+    assert "part_id" in raw.columns
+    assert raw.where("part_id is null").count() == 0
+    m = ck.read_metrics().where("iteration = 3").first()
+    assert m["num_partitions"] >= 1
