@@ -25,6 +25,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 ROUND = 7  # float output rounding, applied identically in both engines
 
+# Shared constants interpolated into BOTH the Spark query and the DuckDB
+# oracle, so the two sides can never drift apart on a data refresh.
+JACCARD_THRESHOLD = 0.8   # ngram_jaccard_pairs filter, both engines
+JACCARD_MAX_DF = 100      # frequent-shingle cap (scale guard), both engines
+ADJ_SALT_THRESHOLD = 40   # in-degree above which a dst is salted
+ADJ_NUM_SALTS = 4         # salted-adjacency chunk count
+SESSION_GAP_US = 1800 * 1_000_000  # 30-min session gap, integer microseconds
+LSH_PLANES, LSH_TABLES, LSH_SEED = 4, 8, 42  # ann_lsh_topk params
+
 # ------------------------------------------------------------------ helpers
 
 _EDGE_SQL = """
@@ -93,6 +102,21 @@ def q_in_adjacency(spark, sf_dir):
     adj = G.in_adjacency(_edges(spark, sf_dir))
     return adj.select(
         "dst", F.array_join(F.col("srcs"), ",").alias("srcs_str"))
+
+
+def q_in_adjacency_salted(spark, sf_dir):
+    """Hub-salted CSR-style grouped adjacency (BASELINE.json: "salted
+    on hub vertices"): dsts with in-degree > ADJ_SALT_THRESHOLD split
+    into ADJ_NUM_SALTS chunks keyed by src % ADJ_NUM_SALTS."""
+    from pagerank_spark import graph as G
+
+    adj = G.in_adjacency_salted(
+        _edges(spark, sf_dir),
+        hot_threshold=ADJ_SALT_THRESHOLD, num_salts=ADJ_NUM_SALTS)
+    return adj.select(
+        "dst", F.col("salt").cast("bigint").alias("salt"),
+        F.array_join(F.transform("srcs", lambda x: x.cast("string")), ",")
+        .alias("srcs_str"))
 
 
 def q_vertex_stats(spark, sf_dir):
@@ -209,7 +233,9 @@ def q_minhash_signatures(spark, sf_dir):
 def q_jaccard_pairs(spark, sf_dir):
     from pagerank_spark.pipeline import dedup
 
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF)
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -231,15 +257,16 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    # rows-only: LSH bucketing is seed-deterministic but the recall set
-    # is approximate by construction; exactness is checked in pytest
-    # against cosine_topk instead.
+    # Oracle-checked: the hyperplane signs are md5-derived
+    # (similarity._plane_signs), so the bucketing — and therefore the
+    # exact approximate-candidate set — is reproducible in DuckDB.
     from pagerank_spark.pipeline import similarity
 
     emb = _embs(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    out = similarity.lsh_topk(emb, queries, k=5, n_planes=4, n_tables=8)
+    out = similarity.lsh_topk(emb, queries, k=5, n_planes=LSH_PLANES,
+                              n_tables=LSH_TABLES, seed=LSH_SEED)
     return out.select("query_id", "neighbor_id", "cosine",
                       F.col("rank").cast("bigint").alias("rank"))
 
@@ -273,8 +300,12 @@ def q_events_sessions(spark, sf_dir):
     ev = _read(spark, sf_dir, "events").select(
         "user_id", "ts", "value", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    secs = F.col("ts").cast("timestamp").cast("long")
-    gap = (secs - F.lag(secs).over(w)) > F.lit(1800)
+    # Integer MICROseconds on both sides (Spark unix_micros vs DuckDB
+    # epoch_us): comparing whole seconds while the oracle kept the
+    # fraction could split sessions differently within ~1s of the
+    # 30-minute boundary.
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = (micros - F.lag(micros).over(w)) > F.lit(SESSION_GAP_US)
     sess = (
         ev.withColumn("new_sess", F.coalesce(gap.cast("int"), F.lit(1)))
         .withColumn("session_no", F.sum("new_sess").over(
@@ -308,6 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_dedupe": q_edge_dedupe,
         "out_degree": q_out_degree,
         "in_adjacency": q_in_adjacency,
+        "in_adjacency_salted": q_in_adjacency_salted,
         "vertex_stats": q_vertex_stats,
         "dangling_vertices": q_dangling_vertices,
         "top5_out_degree": q_top5_out_degree,
@@ -377,6 +409,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT dst, string_agg(src::VARCHAR, ',' ORDER BY src) AS srcs_str
             FROM edges GROUP BY dst
         """,
+        "in_adjacency_salted": f"""
+            {edge_cte},
+            ind AS (SELECT dst, count(*) AS in_deg FROM edges GROUP BY dst),
+            hot AS (SELECT dst FROM ind WHERE in_deg > {ADJ_SALT_THRESHOLD})
+            SELECT e.dst,
+                   (CASE WHEN h.dst IS NOT NULL
+                         THEN e.src % {ADJ_NUM_SALTS} ELSE 0 END)::BIGINT
+                       AS salt,
+                   string_agg(e.src::VARCHAR, ',' ORDER BY e.src) AS srcs_str
+            FROM edges e LEFT JOIN hot h ON e.dst = h.dst
+            GROUP BY 1, 2
+        """,
         "vertex_stats": f"""
             {edge_cte}
             SELECT max(greatest(src, dst)) + 1 AS n_vertices,
@@ -433,7 +477,12 @@ def oracle_sql() -> dict[str, str]:
             sym AS (SELECT src, dst FROM edges WHERE src <> dst
                     UNION
                     SELECT dst, src FROM edges WHERE src <> dst),
-            verts AS (SELECT DISTINCT src AS id FROM sym)
+            -- vertex set from the RAW edges: a vertex whose only edge
+            -- is a self-loop is still incident to an edge and labels
+            -- itself (matches the engine's explicit semantics).
+            verts AS (SELECT DISTINCT src AS id FROM edges
+                      UNION
+                      SELECT DISTINCT dst FROM edges)
             , reach(id, r) AS (
                 SELECT id, id FROM verts
                 UNION
@@ -554,17 +603,24 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": f"""
             WITH {_SHINGLE_SQL},
             sizes AS (SELECT doc_id, count(*) AS sz FROM doc_sh GROUP BY doc_id),
+            -- same frequent-shingle cap as the engine: shingles in more
+            -- than {JACCARD_MAX_DF} docs are excluded from the join
+            -- (sizes stay full-set, so jaccard is the same lower bound).
+            rare AS (SELECT shingle FROM doc_sh GROUP BY shingle
+                     HAVING count(*) <= {JACCARD_MAX_DF}),
+            capped AS (SELECT d.doc_id, d.shingle
+                       FROM doc_sh d JOIN rare r ON d.shingle = r.shingle),
             inter AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                        count(*) AS i
-                FROM doc_sh a JOIN doc_sh b ON a.shingle = b.shingle
+                FROM capped a JOIN capped b ON a.shingle = b.shingle
                 WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
             SELECT doc_a, doc_b,
                    round(i / (sa.sz + sb.sz - i), 6) AS jaccard
             FROM inter
             JOIN sizes sa ON doc_a = sa.doc_id
             JOIN sizes sb ON doc_b = sb.doc_id
-            WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5
+            WHERE round(i / (sa.sz + sb.sz - i), 6) >= {JACCARD_THRESHOLD}
         """,
         "embedding_near_dups": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -601,6 +657,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank
             FROM ranked WHERE rank <= 5
         """,
+        "ann_lsh_topk": f"""
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                         FROM embeddings),
+            tp AS (SELECT t.t, p.p
+                   FROM (SELECT unnest(generate_series(0, {LSH_TABLES - 1}))
+                             AS t) t
+                   CROSS JOIN
+                        (SELECT unnest(generate_series(0, {LSH_PLANES - 1}))
+                             AS p) p),
+            -- sign(d) = +1 iff first hex digit of md5("d:plane:seed") is
+            -- odd — identical to similarity._plane_signs; proj is the
+            -- signed sum over dimensions (1-based d).
+            proj AS (
+                SELECT vec_id, t, p,
+                       list_sum(list_transform(
+                           generate_series(1, len(e)),
+                           d -> e[d] * (CASE WHEN strpos('13579bdf',
+                               substr(md5(d::VARCHAR || ':' || p::VARCHAR
+                                   || ':' || ({LSH_SEED} + 1000 * t)::VARCHAR),
+                                   1, 1)) > 0
+                               THEN 1.0 ELSE -1.0 END))) AS proj
+                FROM emb CROSS JOIN tp),
+            buckets AS (
+                SELECT vec_id, t,
+                       sum(CASE WHEN proj >= 0
+                                THEN power(2, {LSH_PLANES - 1} - p)
+                                ELSE 0 END)::BIGINT AS bucket
+                FROM proj GROUP BY vec_id, t),
+            qb AS (SELECT vec_id AS query_id, t, bucket
+                   FROM buckets WHERE vec_id < 10),
+            cand AS (SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+                     FROM qb JOIN buckets b
+                       ON qb.t = b.t AND qb.bucket = b.bucket
+                     WHERE b.vec_id <> qb.query_id),
+            scored AS (
+                SELECT c.query_id, c.neighbor_id,
+                       round(list_dot_product(q.e, n.e)
+                             / (sqrt(list_dot_product(q.e, q.e))
+                                * sqrt(list_dot_product(n.e, n.e))), 6)
+                           AS cosine
+                FROM cand c
+                JOIN emb q ON c.query_id = q.vec_id
+                JOIN emb n ON c.neighbor_id = n.vec_id),
+            ranked AS (
+                SELECT query_id, neighbor_id, cosine, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored)
+            SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank
+            FROM ranked WHERE rank <= 5
+        """,
         "media_metadata": """
             SELECT doc_id,
                    octet_length(encode(text))::BIGINT AS n_bytes,
@@ -617,8 +724,9 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": f"""
             WITH marked AS (
                 SELECT user_id, ts, value, event_id,
-                       CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
-                                PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                       CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id))
+                                > {SESSION_GAP_US}
                             THEN 1
                             WHEN lag(ts) OVER (
                                 PARTITION BY user_id ORDER BY ts, event_id)

@@ -112,7 +112,7 @@ def main() -> None:
                                       n_planes=4, n_tables=8).count())
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "pagerank_spark_bench_total",
         "value": total,
         "unit": "sec",
@@ -120,7 +120,48 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "detail": detail,
-    }))
+    }
+    prev = _prev_round_diff(timings, total)
+    if prev is not None:
+        out["prev"] = prev
+    print(json.dumps(out))
+
+
+def _prev_round_diff(timings: dict, total: float) -> dict | None:
+    """Per-query regression tracking: diff against the latest driver-
+    recorded BENCH_r{N}.json so round-over-round regressions are
+    mechanically visible (negative delta = faster this round)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return None
+    n, path = max(rounds)
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        parsed = rec.get("parsed", rec)
+        prev_queries = parsed.get("queries", {})
+        prev_total = parsed.get("value")
+    except (OSError, json.JSONDecodeError, AttributeError):
+        return None
+    return {
+        "round": n,
+        "total_prev": prev_total,
+        "total_delta": (round(total - prev_total, 3)
+                        if isinstance(prev_total, (int, float)) else None),
+        "queries_delta": {
+            q: round(t - prev_queries[q], 3)
+            for q, t in timings.items() if q in prev_queries
+        },
+        "queries_new": sorted(q for q in timings if q not in prev_queries),
+    }
 
 
 if __name__ == "__main__":

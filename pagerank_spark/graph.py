@@ -79,6 +79,47 @@ def in_adjacency(edges: DataFrame) -> DataFrame:
     )
 
 
+def in_degrees(edges: DataFrame) -> DataFrame:
+    """(dst, in_deg) over unique edges — the skew statistic for the
+    grouped-adjacency build (hubs are high IN-degree there)."""
+    return edges.groupBy("dst").agg(F.count(F.lit(1)).alias("in_deg"))
+
+
+def in_adjacency_salted(edges: DataFrame, hot_threshold: int = 100_000,
+                        num_salts: int = 8) -> DataFrame:
+    """Hub-salted CSR-style grouped in-neighbor lists:
+    (dst, salt, srcs ARRAY<BIGINT> sorted per chunk).
+
+    BASELINE.json mandates "per-partition CSR-style grouped edge lists
+    (salted on hub vertices)": a mega-hub's single ``collect_list`` row
+    in :func:`in_adjacency` would concentrate its entire in-neighbor
+    set in one aggregation task (OOM at web scale).  Here hot dsts
+    (in-degree > ``hot_threshold``) are split into ``num_salts``
+    deterministic chunks — ``salt = src % num_salts`` (portable, so the
+    DuckDB oracle reproduces it exactly) — bounding every array at
+    ~in_deg/num_salts while cold dsts keep a single salt-0 row, so the
+    common case is identical to the unsalted layout.  Consumers
+    re-merge chunks with ``groupBy(dst) + flatten(collect_list(srcs))``
+    or, better, iterate chunk-parallel.
+    """
+    hot = (
+        in_degrees(edges)
+        .where(F.col("in_deg") > hot_threshold)
+        .select("dst", F.lit(True).alias("is_hot"))
+    )
+    return (
+        edges.join(F.broadcast(hot), "dst", "left")
+        .withColumn(
+            "salt",
+            F.when(F.col("is_hot"),
+                   F.pmod(F.col("src"), F.lit(num_salts)))
+            .otherwise(F.lit(0)).cast("int"),
+        )
+        .groupBy("dst", "salt")
+        .agg(F.sort_array(F.collect_list("src")).alias("srcs"))
+    )
+
+
 def symmetrize(edges: DataFrame) -> DataFrame:
     """Undirected view: edges ∪ reversed, self-loops dropped, deduped.
 
@@ -95,7 +136,8 @@ def symmetrize(edges: DataFrame) -> DataFrame:
 
 
 def encode_dense_ids(edges_str: DataFrame, src_col: str = "src_repo",
-                     dst_col: str = "dst_repo") -> tuple[DataFrame, DataFrame]:
+                     dst_col: str = "dst_repo",
+                     partitions: int | None = None) -> tuple[DataFrame, DataFrame]:
     """Deterministic dictionary encoding of string vertex names to dense
     BIGINT ids in [0, N).
 
@@ -105,22 +147,57 @@ def encode_dense_ids(edges_str: DataFrame, src_col: str = "src_repo",
 
     Returns (encoded_edges(src,dst), dictionary(name, id)).
 
-    Scale note: a global row_number needs a single ordered pass over
-    the *distinct* vertex names (|V|, not |E| rows).  At 1e8+ vertices
-    switch to ``zipWithIndex``-free two-level encoding: here we use a
-    rank-over-sorted-names window which Spark executes as a global sort
-    — acceptable because it runs exactly once per graph build and the
-    input is the deduplicated vertex set.
+    Scale design (two-level encode — no global window): a plain
+    ``row_number() OVER (ORDER BY name)`` funnels ALL distinct names
+    through ONE task, a single-task bottleneck on the graph-build
+    critical path at 1e8+ vertices.  Instead:
+
+      1. range-partition the distinct name set on ``name`` (parallel
+         sort; ranges are contiguous and non-overlapping, so partition
+         order == global order regardless of sampled boundaries);
+      2. per-partition ``row_number`` (window PARTITIONED by the range
+         partition id — a parallel hash exchange, never a single task);
+      3. per-partition base offsets = exclusive prefix sum of the
+         partition counts — P scalar rows collected to the driver
+         (same cost class as the per-iteration L1 collect) and
+         broadcast-joined back.
+
+    ``id = offset[part] + local_rank - 1`` reproduces the global
+    sorted ``row_number() - 1`` bit-for-bit (names are distinct, so
+    the order is total).  The intermediate is persisted so the range
+    partition assignment is frozen between the counts job and the
+    final job.
     """
     from pyspark.sql import Window
+
+    spark = edges_str.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     names = (
         edges_str.select(F.col(src_col).alias("name"))
         .unionByName(edges_str.select(F.col(dst_col).alias("name")))
         .distinct()
     )
-    w = Window.orderBy("name")
-    dictionary = names.withColumn("id", F.row_number().over(w) - F.lit(1))
+    parted = (
+        names.repartitionByRange(partitions, "name")
+        .withColumn("part", F.spark_partition_id())
+        .persist()
+    )
+    counts = parted.groupBy("part").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["part"]):
+        offsets.append((int(row["part"]), acc))
+        acc += int(row["cnt"])
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "part INT, offset BIGINT")
+
+    w = Window.partitionBy("part").orderBy("name")
+    dictionary = (
+        parted.join(F.broadcast(off_df), "part")
+        .withColumn("id", (F.row_number().over(w) - F.lit(1)
+                           + F.col("offset")).cast("bigint"))
+        .select("name", "id")
+    )
     enc = (
         edges_str
         .join(dictionary.withColumnRenamed("name", src_col)

@@ -40,13 +40,18 @@ def _min_neighbor(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
+    """Requires a SYMMETRIC input edge set (Γ(u) must contain every
+    neighbor).  Output rows (v, m) always satisfy v > m, i.e. they are
+    already (hi, lo)-oriented — exactly the orientation ``_small_star``
+    normalizes to, so no symmetrize (union + dedupe exchange) is needed
+    between the two phases; ``_small_star``'s own orientation dedupe
+    also subsumes a dedupe here (one fewer shuffle per round)."""
     m = _min_neighbor(edges)
     return (
         edges.join(m, "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
     )
 
 
@@ -87,6 +92,13 @@ def connected_components(
     """(id, component) for every vertex incident to an edge; component
     label = min vertex id in the component (FIXTURES.md F4 contract).
 
+    Self-loop semantics (explicit): a vertex whose ONLY edge is a
+    self-loop is still incident to an edge, so it appears in the output
+    labelled by itself — the vertex set is built from the RAW edge
+    table, while propagation runs on the symmetrized (self-loop-free)
+    edge set.  This matches the union-find oracle in tests/oracles.py
+    and the driver's DuckDB oracle.
+
     Callers that follow the reference's dense-domain semantics should
     union in isolated ids labelled by themselves (see
     ``components_with_domain``).
@@ -116,10 +128,11 @@ def connected_components(
     while it < max_iter:
         it += 1
         ls = _large_star(cur)
-        # large-star emits directed (v, m); small-star needs both
-        # orientations visible — symmetrize between the two phases.
-        nxt = _small_star(symmetrize(ls))
-        nxt = symmetrize(nxt)
+        # large-star's output is already (hi, lo)-oriented and small-star
+        # re-orients internally, so it consumes ls directly; only the
+        # round's final edge set needs symmetrizing (next large-star
+        # wants full neighborhoods).  One symmetrize per round, not two.
+        nxt = symmetrize(_small_star(ls))
         if checkpoint is not None and checkpoint.should_checkpoint(it):
             nxt = checkpoint.write_state(nxt, it).persist()
         else:

@@ -67,7 +67,8 @@ BROADCAST_MAX_VERTICES = 5_000_000
 
 @dataclass
 class PageRankResult:
-    ranks: DataFrame            # (id, pr) — reported (pre-swap) vector, ref Q4
+    ranks: DataFrame            # (id, pr) — reference-reported vector: x_{k-1}
+                                # on a stop-rule exit (Q4), x_k on max-iter exit
     converged_ranks: DataFrame  # (id, pr) — the last computed iterate x_k
     iterations: int
     final_l1: float
@@ -171,7 +172,7 @@ def pagerank(
         agg = _state_agg(state)
         dangling, prev_l1 = agg["dangling"], agg["l1"]
         if _stopped(prev_l1, None, stop_rule, tol):
-            return _finish(state, it, prev_l1, metrics)
+            return _finish(state, it, prev_l1, metrics, stopped=True)
     else:
         # Q1: zero init.
         state = (
@@ -183,6 +184,7 @@ def pagerank(
         )
 
     inv_n = 1.0 / n
+    stopped = False
     while it < max_iter:
         it += 1
         t0 = time.monotonic()
@@ -227,11 +229,13 @@ def pagerank(
         state = new_state
 
         if _stopped(l1, prev_l1, stop_rule, tol):
+            stopped = True
             break
         prev_l1 = l1
         dangling = next_dangling
 
-    return _finish(state, it, metrics[-1]["l1"] if metrics else prev_l1, metrics)
+    return _finish(state, it, metrics[-1]["l1"] if metrics else prev_l1,
+                   metrics, stopped)
 
 
 def _state_agg(state: DataFrame) -> dict:
@@ -256,8 +260,16 @@ def _stopped(l1: float, prev_l1: float | None, stop_rule: str, tol: float) -> bo
     return l1 < tol
 
 
-def _finish(state: DataFrame, it: int, l1: float, metrics: list[dict]) -> PageRankResult:
-    reported = state.select("id", F.col("prev_pr").alias("pr"))
+def _finish(state: DataFrame, it: int, l1: float, metrics: list[dict],
+            stopped: bool) -> PageRankResult:
+    """Build the result, matching the reference's reporting on BOTH exit
+    paths: on a stop-rule exit the loop breaks *before* the swap, so the
+    reported vector is x_{k-1} (quirk Q4, ref pagerank.cpp:234-238); on
+    a max-iter exit every iteration completed its swap (``pr = new_pr``
+    runs on every non-break iteration, ref pagerank.cpp:238), so the
+    reference reports the last computed iterate x_k."""
+    pre_swap = state.select("id", F.col("prev_pr").alias("pr"))
     converged = state.select("id", "pr")
+    reported = pre_swap if stopped else converged
     return PageRankResult(ranks=reported, converged_ranks=converged,
                           iterations=it, final_l1=l1, metrics=metrics)

@@ -78,17 +78,33 @@ def _fake_decode(payload: bytes) -> "object":
 
 def extract_features(media: DataFrame, n_features: int = 8,
                      require_real_codecs: bool = False) -> DataFrame:
-    """Per-media feature vectors via mapInPandas (Arrow batches).
+    """Per-media feature vectors.
 
-    Features (stub): byte-histogram moments over ``n_features`` equal
-    byte-value bins — deterministic, vectorized numpy per batch.  With
-    ``require_real_codecs=True`` raises NotImplementedError where the
-    real decoder would run (the container has no image/audio libs).
+    Scalar metadata stays JVM-side (no Python at all): ``n_bytes`` is
+    ``F.length(payload)`` and ``payload_sha`` is ``F.sha2(payload,
+    256)`` — whole-stage-codegen'd column expressions computed before
+    the Arrow transfer and passed through the UDF untouched.  Only the
+    decode+featurize step crosses into Python, via mapInPandas (Arrow
+    batches): the per-item ``_fake_decode`` is the inherently per-item
+    codec stub, and the byte histogram is computed ONCE per batch with
+    a single vectorized bincount over the concatenated buffers (no
+    per-row numpy calls).  With ``require_real_codecs=True`` raises
+    NotImplementedError where the real decoder would run (the
+    container has no image/audio libs).
+
+    Histogram bins are ``n_features`` equal byte-value ranges over
+    [0, 256); 256 must be divisible by ``n_features``.
     """
+    if 256 % n_features != 0:
+        raise ValueError("n_features must divide 256")
+
+    annotated = media.select(
+        "doc_id", "kind", "payload",
+        F.length("payload").cast("int").alias("n_bytes"),
+        F.sha2("payload", 256).alias("payload_sha"),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         import numpy as np
 
         for pdf in batches:
@@ -97,20 +113,28 @@ def extract_features(media: DataFrame, n_features: int = 8,
                     "real image/audio codecs are not available in this "
                     "environment; install PIL/soundfile/pyav and replace "
                     "_fake_decode")
-            out = {"doc_id": pdf["doc_id"], "kind": pdf["kind"],
-                   "n_bytes": [], "payload_sha": [], "features": []}
-            for payload in pdf["payload"]:
-                buf = bytes(payload)
-                arr = _fake_decode(buf)
-                hist, _ = np.histogram(arr, bins=n_features, range=(0, 256))
-                total = max(len(arr), 1)
-                out["n_bytes"].append(len(buf))
-                out["payload_sha"].append(hashlib.sha256(buf).hexdigest())
-                out["features"].append(
-                    (hist.astype("float32") / total).tolist())
-            yield pd.DataFrame(out)
+            n = len(pdf)
+            # Decode is per-item by nature (each payload is one media
+            # object); everything after is batch-vectorized.
+            decoded = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            lens = np.array([d.size for d in decoded], dtype=np.int64)
+            if n and lens.sum() > 0:
+                concat = np.concatenate(decoded)
+                doc_idx = np.repeat(np.arange(n), lens)
+                bin_idx = concat.astype(np.int64) * n_features // 256
+                flat = np.bincount(doc_idx * n_features + bin_idx,
+                                   minlength=n * n_features)
+            else:
+                flat = np.zeros(n * n_features, dtype=np.int64)
+            hists = flat.reshape(n, n_features).astype("float32")
+            feats = hists / np.maximum(lens, 1)[:, None]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "kind": pdf["kind"],
+                "n_bytes": pdf["n_bytes"], "payload_sha": pdf["payload_sha"],
+                "features": [row.tolist() for row in feats],
+            })
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return annotated.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:

@@ -107,6 +107,25 @@ def test_random_graph_vs_oracle(spark):
         [ranks[v] for v in sorted(ranks)], oracle_rep, atol=1e-8)
 
 
+def test_max_iter_exit_reports_post_swap(spark):
+    # Reference parity on the max-iter path (ADVICE round 1): the ref
+    # swaps pr = new_pr on every non-break iteration, so a run that
+    # exhausts max_iter reports x_k, while a stop-rule exit reports the
+    # pre-swap x_{k-1} (quirk Q4).
+    g = graph.prepare(edges_df(spark, F2_EDGES))
+    capped = pagerank(g, tol=1e-10, max_iter=5)
+    _, oracle_xk, oracle_it, _ = pagerank_oracle(
+        F2_EDGES, tol=1e-10, max_iter=5)
+    assert capped.iterations == oracle_it == 5
+    ranks = _ranks_dict(capped.ranks)
+    np.testing.assert_allclose(
+        [ranks[v] for v in range(5)], oracle_xk, atol=1e-12)
+    # and the converged path still reports pre-swap (golden asserts in
+    # test_f2_north_star_rule cover the values; here just the identity):
+    conv = pagerank(g, tol=1e-10)
+    assert _ranks_dict(conv.ranks) != _ranks_dict(conv.converged_ranks)
+
+
 def test_checkpoint_resume_bit_identical(spark, tmp_path):
     # FIXTURES F5 shape, capped at a fixed horizon to keep the suite
     # fast: interrupt at iteration 12, resume, compare the iterate at
