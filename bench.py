@@ -99,7 +99,8 @@ def main() -> None:
     timed("minhash_candidates",
           lambda: dedup.minhash_candidate_pairs(docs).count())
     timed("jaccard_pairs",
-          lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.8).count())
+          lambda: dedup.ngram_jaccard_pairs(
+              docs, threshold=0.8, max_df=100).count())
     timed("simhash_pairs",
           lambda: dedup.simhash_near_pairs(docs, max_hamming=3).count())
 
