@@ -150,11 +150,34 @@ def pagerank(
     if gather_mode == "auto":
         gather_mode = "broadcast" if n <= BROADCAST_MAX_VERTICES else "shuffle"
 
+    # Mode-aware edge layout (one-time cost, amortized over O(100)
+    # iterations).  The persisted graph is dst-partitioned — optimal for
+    # the BROADCAST gather (join needs no exchange, groupBy(dst) reuses
+    # the layout: a zero-shuffle iteration).  The SHUFFLE gather joins
+    # on ``src``: with dst-partitioned edges the whole |E| table would
+    # re-exchange EVERY iteration.  Re-layout by the join key once into
+    # the SQL cache — InMemoryRelation preserves outputPartitioning
+    # even under AQE (localCheckpoint does NOT: an adaptive plan
+    # reports UnknownPartitioning at checkpoint time), so per iteration
+    # only the |V|-row rank side shuffles to match, plus the partial
+    # aggregates (bounded by |distinct dst| per partition, not |E|).
+    # Plan shape asserted in tests/test_plans.py.
+    gather_edges = graph.edges
+    if gather_mode == "shuffle":
+        gather_edges = graph.edges.repartition(
+            graph.edges.rdd.getNumPartitions(), "src").persist()
+        gather_edges.count()
+
     salted_ctx = None
     if salt_threshold is not None:
         gather_mode = "salted"
         hot = skew.hot_vertices(graph.out_deg, salt_threshold).persist()
-        salted_edges = skew.salt_edges(graph.edges, hot, num_salts).persist()
+        salted_edges = (
+            skew.salt_edges(graph.edges, hot, num_salts)
+            .repartition(graph.edges.rdd.getNumPartitions(), "src", "salt")
+            .persist()
+        )
+        salted_edges.count()
         salted_ctx = (salted_edges, hot, num_salts)
 
     # State: (id, pr, prev_pr, out_deg NULL⇔dangling).  Carrying out_deg
@@ -189,7 +212,7 @@ def pagerank(
         it += 1
         t0 = time.monotonic()
 
-        contribs = _gather(graph.edges, _rank_weights(state), gather_mode, salted_ctx)
+        contribs = _gather(gather_edges, _rank_weights(state), gather_mode, salted_ctx)
         new_pr = (
             (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling * inv_n))
             * F.lit(damping) + F.lit((1.0 - damping) * inv_n)

@@ -29,6 +29,40 @@ def test_gather_broadcast_join_shape(spark):
     assert "partial_sum" in plan or "HashAggregate" in plan
 
 
+def test_shuffle_gather_edge_side_stays_put(spark):
+    # The shuffle-mode gather joins on src: with the edge table laid
+    # out by src (what operators/pagerank.py does once per run), the
+    # per-iteration plan must NOT re-exchange the |E|-row edge side —
+    # only the |V|-row rank side and the partial aggregates move.
+    edges = [(i % 40, (i * 7) % 40) for i in range(400)]
+    g = graph.prepare(edges_df(spark, edges))
+    parts = g.edges.rdd.getNumPartitions()
+    ranks_w = g.out_deg.select(
+        F.col("id").alias("src"), (F.lit(1.0) / F.col("out_deg")).alias("w"))
+
+    def edge_subtree(edge_side):
+        # the join's edge-side subtree, up to the cached-relation
+        # internals (whose stored plan text contains its own Exchange)
+        plan = _physical(
+            edge_side.join(ranks_w, "src")
+            .groupBy("dst").agg(F.sum("w").alias("contrib")))
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        return plan.split("InMemoryRelation")[0]
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        relaid = g.edges.repartition(parts, "src").persist()
+        relaid.count()
+        # src-partitioned cache: the InMemoryTableScan feeds the join
+        # directly — no Exchange between the scan and the join; the
+        # only exchange above it is the final dst aggregation.
+        assert edge_subtree(relaid).count("Exchange") == 1
+        relaid.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_minhash_pairs_no_cartesian(spark):
     from pagerank_spark.pipeline import dedup
 
