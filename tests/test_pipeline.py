@@ -231,6 +231,28 @@ def test_lsh_topk_recall(spark, embeddings):
     assert recall >= 0.4  # ANN quality floor at these settings
 
 
+def test_lsh_vectorized_buckets_identical(spark, embeddings):
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    jvm = {(r["vec_id"], r["table"]): r["bucket"]
+           for r in similarity.lsh_index(
+               emb, n_planes=6, n_tables=4, seed=42).collect()}
+    arrow = {(r["vec_id"], r["table"]): r["bucket"]
+             for r in similarity.lsh_index(
+                 emb, n_planes=6, n_tables=4, seed=42,
+                 vectorized=True).collect()}
+    assert jvm == arrow  # exact bucket parity between the two paths
+
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    a = sorted(map(tuple, similarity.lsh_topk(
+        emb, queries, k=5, n_planes=6, n_tables=4).collect()))
+    b = sorted(map(tuple, similarity.lsh_topk(
+        emb, queries, k=5, n_planes=6, n_tables=4,
+        vectorized=True).collect()))
+    assert a == b
+
+
 # ----------------------------------------------------------- multimodal
 def test_multimodal_features(spark, docs):
     media = multimodal.synthesize_media(docs.limit(20))
