@@ -222,6 +222,25 @@ def q_exact_dup_groups(spark, sf_dir):
                     .alias("doc_ids_str"))
 
 
+def q_exact_dup_stats(spark, sf_dir):
+    """Scale-safe exact-dup summary: no per-group arrays (a degenerate
+    digest group stays one constant-size row)."""
+    from pagerank_spark.pipeline import dedup
+
+    d = dedup.exact_duplicate_stats(_docs(spark, sf_dir))
+    return d.select("digest",
+                    F.col("n_docs").cast("bigint").alias("n_docs"),
+                    "keep_doc_id")
+
+
+def q_docs_deduped(spark, sf_dir):
+    """The dedup FILTER itself: survivors (min doc_id per distinct
+    text) of exact deduplication."""
+    from pagerank_spark.pipeline import dedup
+
+    return dedup.drop_exact_duplicates(_docs(spark, sf_dir)).select("doc_id")
+
+
 def q_minhash_signatures(spark, sf_dir):
     from pagerank_spark.pipeline import dedup
 
@@ -353,6 +372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_language": q_doc_language,
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dup_groups": q_exact_dup_groups,
+        "exact_dup_stats": q_exact_dup_stats,
+        "docs_deduped": q_docs_deduped,
         "minhash_signatures": q_minhash_signatures,
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_near_dups": q_embedding_near_dups,
@@ -591,6 +612,14 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
                        AS doc_ids_str
             FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "exact_dup_stats": """
+            SELECT md5(text) AS digest, count(*)::BIGINT AS n_docs,
+                   min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "docs_deduped": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
         """,
         "minhash_signatures": f"""
             WITH {_SHINGLE_SQL},

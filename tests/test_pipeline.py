@@ -40,6 +40,25 @@ def test_exact_duplicates(spark):
     assert rows[0]["digest"] == hashlib.md5(b"a b c").hexdigest()
 
 
+def test_exact_dup_stats_and_filter(spark):
+    d = _mk_docs(spark, ["a b c", "x y z", "a b c", "q", "a b c"])
+    stats = dedup.exact_duplicate_stats(d).collect()
+    assert len(stats) == 1
+    assert stats[0]["n_docs"] == 3 and stats[0]["keep_doc_id"] == 0
+    kept = sorted(r["doc_id"] for r in dedup.drop_exact_duplicates(d).collect())
+    assert kept == [0, 1, 3]  # min doc_id survives each group
+
+
+def test_minhash_bucket_cap(spark):
+    # 20 identical docs share every LSH bucket: uncapped pairing is
+    # quadratic (C(20,2) pairs); the cap drops the degenerate bucket.
+    d = _mk_docs(spark, ["same exact text for everyone here ok"] * 20)
+    uncapped = dedup.minhash_candidate_pairs(d).count()
+    assert uncapped == 190
+    capped = dedup.minhash_candidate_pairs(d, max_bucket=5).count()
+    assert capped == 0
+
+
 def test_minhash_signatures_portable(spark):
     d = _mk_docs(spark, ["the quick brown fox jumps over the lazy dog"])
     sig = {r["seed"]: r["minhash"]
