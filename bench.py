@@ -111,6 +111,9 @@ def main() -> None:
     timed("ann_lsh_topk",
           lambda: similarity.lsh_topk(emb, queries_df, k=10,
                                       n_planes=4, n_tables=8).count())
+    timed("ann_lsh_topk_vectorized",
+          lambda: similarity.lsh_topk(emb, queries_df, k=10, n_planes=4,
+                                      n_tables=8, vectorized=True).count())
 
     total = round(sum(timings.values()), 3)
     out = {
