@@ -117,6 +117,7 @@ def pagerank(
     salt_threshold: int | None = None,
     num_salts: int = 8,
     resume: bool = False,
+    static_planning: bool = True,
 ) -> PageRankResult:
     """Run PageRank to convergence.
 
@@ -124,7 +125,34 @@ def pagerank(
       "l1"        — stop when L1 delta < ``tol`` (north-star rule).
       "reference" — the reference's own rule: L1 < 1e-5 OR plateau
                     |L1 - prev_L1| < 1e-7 (ref pagerank.cpp:229-236).
+
+    ``static_planning`` runs the loop with AQE suspended (see
+    ``session.static_plan``): every iteration executes the identical
+    hand-sized plan, so runtime re-planning only adds per-iteration
+    overhead; the session setting is restored on exit.
     """
+    from pagerank_spark.session import static_plan
+
+    with static_plan(graph.spark, enabled=static_planning):
+        return _pagerank_loop(
+            graph, damping, tol, max_iter, stop_rule, checkpoint,
+            checkpoint_interval, gather_mode, salt_threshold, num_salts,
+            resume)
+
+
+def _pagerank_loop(
+    graph: Graph,
+    damping: float,
+    tol: float,
+    max_iter: int,
+    stop_rule: str,
+    checkpoint: CheckpointManager | None,
+    checkpoint_interval: int,
+    gather_mode: str,
+    salt_threshold: int | None,
+    num_salts: int,
+    resume: bool,
+) -> PageRankResult:
     spark = graph.spark
     n = graph.n
     if n == 0:

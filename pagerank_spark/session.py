@@ -16,8 +16,36 @@ would pass to ``spark-submit`` on a multi-executor cluster (see
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def static_plan(spark: SparkSession, enabled: bool = True):
+    """Temporarily disable adaptive query execution.
+
+    AQE exists to re-plan around UNKNOWN data shapes at runtime.  A
+    hand-tuned iterative loop (PageRank) runs the IDENTICAL plan every
+    iteration over explicitly sized partitions — there is nothing for
+    AQE to learn, but its per-query stage materialization and
+    re-planning costs land on every one of O(100) iterations (measured
+    285 → 237 ms/iter at sf0.1), and adaptive plans report
+    UnknownPartitioning to downstream checkpoints, hiding the state
+    table's co-partitioning.  Loops whose data shape CHANGES per round
+    (connected components' geometrically shrinking edge set) keep AQE —
+    coalescing there is measured faster.
+    """
+    if not enabled:
+        yield
+        return
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def get_spark(
