@@ -26,12 +26,80 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+class _PathOps:
+    """Filesystem adapter for the checkpoint root.
+
+    Plain paths use ``os``/``shutil``; any URI root (``hdfs://``,
+    ``s3a://``, ``file://`` …) goes through the Hadoop ``FileSystem``
+    API via the JVM gateway, so commit detection, resume, and metrics
+    writes work from a ``spark-submit`` driver on a real cluster —
+    driver-side ``os.listdir`` cannot see HDFS/S3.  (``file://`` URIs
+    exercise the Hadoop branch against the local filesystem in tests.)
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.remote = "://" in root
+
+    def _jpath(self, p: str):
+        return self.spark._jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(self, p: str):
+        return self._jpath(p).getFileSystem(
+            self.spark._jsc.hadoopConfiguration())
+
+    def exists(self, p: str) -> bool:
+        if not self.remote:
+            return os.path.exists(p)
+        return bool(self._fs(p).exists(self._jpath(p)))
+
+    def listdir(self, p: str) -> list[str]:
+        if not self.remote:
+            return os.listdir(p) if os.path.isdir(p) else []
+        fs = self._fs(p)
+        jp = self._jpath(p)
+        if not fs.exists(jp):
+            return []
+        return [st.getPath().getName() for st in fs.listStatus(jp)]
+
+    def mkdirs(self, p: str) -> None:
+        if not self.remote:
+            os.makedirs(p, exist_ok=True)
+            return
+        self._fs(p).mkdirs(self._jpath(p))
+
+    def write_text(self, p: str, data: str) -> None:
+        """Atomic-enough single-file write (Hadoop create is
+        replace-on-close; local uses rename)."""
+        if not self.remote:
+            tmp = p + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(data)
+            os.replace(tmp, p)
+            return
+        out = self._fs(p).create(self._jpath(p), True)
+        try:
+            out.write(bytearray(data, "utf-8"))
+        finally:
+            out.close()
+
+    def delete(self, p: str) -> None:
+        if not self.remote:
+            shutil.rmtree(p, ignore_errors=True)
+            return
+        fs = self._fs(p)
+        jp = self._jpath(p)
+        if fs.exists(jp):
+            fs.delete(jp, True)
+
+
 class CheckpointManager:
     def __init__(self, spark: SparkSession, root: str, interval: int = 1):
         self.spark = spark
         self.root = root
         self.interval = max(int(interval), 1)
-        os.makedirs(root, exist_ok=True)
+        self.ops = _PathOps(spark, root)
+        self.ops.mkdirs(root)
 
     # -- paths -----------------------------------------------------------
     def _state_dir(self, it: int) -> str:
@@ -65,14 +133,12 @@ class CheckpointManager:
 
     def committed_iterations(self) -> list[int]:
         base = os.path.join(self.root, "state")
-        if not os.path.isdir(base):
-            return []
         its = []
-        for name in os.listdir(base):
+        for name in self.ops.listdir(base):
             if not name.startswith("iter="):
                 continue
             d = os.path.join(base, name)
-            if os.path.exists(os.path.join(d, "_SUCCESS")):
+            if self.ops.exists(os.path.join(d, "_SUCCESS")):
                 its.append(int(name.split("=", 1)[1]))
         return sorted(its)
 
@@ -91,11 +157,8 @@ class CheckpointManager:
                **{k: float(v) if isinstance(v, (int, float)) else v
                   for k, v in metrics.items()}}
         d = self._metrics_dir(it)
-        os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, ".metrics.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(row, f)
-        os.replace(tmp, os.path.join(d, "metrics.json"))
+        self.ops.mkdirs(d)
+        self.ops.write_text(os.path.join(d, "metrics.json"), json.dumps(row))
 
     def read_metrics(self) -> DataFrame:
         base = os.path.join(self.root, "metrics")
@@ -109,8 +172,8 @@ class CheckpointManager:
         is ~|V| rows; pruning bounds storage to O(1) checkpoints."""
         for k in self.committed_iterations():
             if k < it:
-                shutil.rmtree(self._state_dir(k), ignore_errors=True)
+                self.ops.delete(self._state_dir(k))
 
     def clear(self) -> None:
-        shutil.rmtree(self.root, ignore_errors=True)
-        os.makedirs(self.root, exist_ok=True)
+        self.ops.delete(self.root)
+        self.ops.mkdirs(self.root)

@@ -102,18 +102,27 @@ def extract_references(files: DataFrame) -> DataFrame:
     )
 
 
-def derive_edges(files: DataFrame) -> DataFrame:
+def derive_edges(files: DataFrame,
+                 broadcast_owners: bool = True) -> DataFrame:
     """(src_repo, dst_repo) — unique, self-edges dropped.
 
     src = the importing file's repo, dst = the repo owning the
-    referenced module (unresolvable references are dropped).  The
-    ownership map is broadcast: it is |modules|-sized, orders of
-    magnitude smaller than the corpus.
+    referenced module (unresolvable references are dropped).
+
+    ``broadcast_owners`` picks the resolution-join strategy.  The
+    ownership map is |distinct modules|-sized — far smaller than the
+    corpus, so broadcast is right for most runs — but at the mandated
+    1e12-file scale distinct module stems can reach 1e8+ rows (multiple
+    GB of strings), past practical broadcast limits: pass False there
+    and the resolution becomes a shuffled hash/sort-merge join on
+    ``module``, with AQE's skew handling covering hot module names
+    (results are identical either way; equivalence-tested).
     """
     refs = extract_references(files)
     owners = module_ownership(files)
+    owners_side = F.broadcast(owners) if broadcast_owners else owners
     return (
-        refs.join(F.broadcast(owners), "module")
+        refs.join(owners_side, "module")
         .select(F.col("repo").alias("src_repo"),
                 F.col("owner_repo").alias("dst_repo"))
         .where(F.col("src_repo") != F.col("dst_repo"))

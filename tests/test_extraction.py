@@ -21,6 +21,19 @@ def test_extracted_edges_match_ground_truth(spark):
     assert all(s != d for s, d in got)
 
 
+def test_shuffle_join_owners_equivalent(spark):
+    # the 1e12-file path: shuffled resolution join must produce the
+    # exact same edge set as the broadcast join.
+    files, _ = datagen.repo_files_corpus(spark, n_repos=8,
+                                         files_per_repo=5, seed=11)
+    bc = {(r["src_repo"], r["dst_repo"])
+          for r in extraction.derive_edges(files).collect()}
+    sh = {(r["src_repo"], r["dst_repo"])
+          for r in extraction.derive_edges(
+              files, broadcast_owners=False).collect()}
+    assert bc == sh
+
+
 def test_sha256_invariant_preserved(spark):
     files, _ = datagen.repo_files_corpus(spark, seed=7)
     # Hash every row's content locally — the stage's sha column must

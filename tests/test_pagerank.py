@@ -152,6 +152,28 @@ def test_checkpoint_resume_bit_identical(spark, tmp_path):
     assert sorted(r["iteration"] for r in mrows) == list(range(1, 31))
 
 
+def test_checkpoint_hadoop_fs_uri_root(spark, tmp_path):
+    # URI-schemed roots (hdfs://, s3a://) must work from a cluster
+    # driver; the file:// scheme routes through the same Hadoop
+    # FileSystem branch against the local disk.
+    root = f"file://{tmp_path}/hck"
+    g = graph.prepare(edges_df(spark, F2_EDGES))
+    ck = CheckpointManager(spark, root, interval=1)
+    pagerank(g, tol=1e-10, max_iter=6, checkpoint=ck)
+    assert ck.committed_iterations() == [1, 2, 3, 4, 5, 6]
+    mrows = ck.read_metrics().select("iteration").collect()
+    assert sorted(r["iteration"] for r in mrows) == list(range(1, 7))
+
+    resumed = pagerank(g, tol=1e-10, max_iter=10, checkpoint=ck, resume=True)
+    assert resumed.iterations == 10
+    assert ck.latest_iteration() == 10
+
+    ck.prune_states_before(9)
+    assert ck.committed_iterations() == [9, 10]
+    ck.clear()
+    assert ck.committed_iterations() == []
+
+
 def test_checkpoint_carries_partition_lineage(spark, tmp_path):
     # per-partition lineage: every state file row records the writing
     # partition id; metrics record the partition count.
