@@ -169,6 +169,22 @@ def q_connected_components(spark, sf_dir):
     return connected_components(_edges(spark, sf_dir))
 
 
+def q_components_domain(spark, sf_dir):
+    """Components over the full dense vertex domain [0, N): isolated
+    in-domain ids (reference quirk Q3) label themselves."""
+    from pagerank_spark.operators.components import components_with_domain
+
+    g = _graph(spark, sf_dir)
+    return components_with_domain(g.edges, g.n)
+
+
+def q_triangles_per_vertex(spark, sf_dir):
+    from pagerank_spark.operators.triangles import triangles_per_vertex
+
+    t = triangles_per_vertex(_edges(spark, sf_dir))
+    return t.select("id", F.col("triangles").cast("bigint").alias("triangles"))
+
+
 def q_label_propagation_k2(spark, sf_dir):
     from pagerank_spark.operators import label_propagation
 
@@ -365,8 +381,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_k3": q_pagerank_k3,
         "pagerank_converged": q_pagerank_converged,
         "connected_components": q_connected_components,
+        "components_domain": q_components_domain,
         "label_propagation_k2": q_label_propagation_k2,
         "triangle_count": q_triangle_count,
+        "triangles_per_vertex": q_triangles_per_vertex,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_language": q_doc_language,
@@ -510,6 +528,37 @@ def oracle_sql() -> dict[str, str]:
                 SELECT re.id, s.dst FROM reach re JOIN sym s ON re.r = s.src
             )
             SELECT id, min(r) AS component FROM reach GROUP BY id
+        """,
+        "components_domain": f"""
+            WITH RECURSIVE edges AS ({_EDGE_SQL}),
+            sym AS (SELECT src, dst FROM edges WHERE src <> dst
+                    UNION
+                    SELECT dst, src FROM edges WHERE src <> dst),
+            n AS (SELECT max(greatest(src, dst)) + 1 AS n FROM edges),
+            verts AS (SELECT unnest(generate_series(0,
+                          (SELECT n - 1 FROM n)))::BIGINT AS id)
+            , reach(id, r) AS (
+                SELECT id, id FROM verts
+                UNION
+                SELECT re.id, s.dst FROM reach re JOIN sym s ON re.r = s.src
+            )
+            SELECT id, min(r) AS component FROM reach GROUP BY id
+        """,
+        "triangles_per_vertex": f"""
+            {edge_cte},
+            und AS (SELECT DISTINCT least(src, dst) AS lo,
+                                    greatest(src, dst) AS hi
+                    FROM edges WHERE src <> dst),
+            tri AS (
+                SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+                FROM und e1
+                JOIN und e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+                JOIN und e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)
+            SELECT id, count(*)::BIGINT AS triangles FROM (
+                SELECT a AS id FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri)
+            GROUP BY id
         """,
         "label_propagation_k2": f"""
             {edge_cte},
