@@ -50,6 +50,33 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+def sessionized(events: DataFrame, gap: str = "30 minutes",
+                watermark: str = "2 hours") -> DataFrame:
+    """Per-user session aggregates via ``session_window`` — Spark's
+    native stateful session operator; works on batch AND streaming
+    inputs (on streams the watermark bounds session state and closes
+    sessions whose gap has passed).
+
+    Semantics match the batch gaps-and-islands query
+    (``__spark_entry__.q_events_sessions``): a session is a maximal run
+    of events per user with inter-event gaps <= ``gap``; equality of
+    the two faces is asserted in tests.  Output: (user_id,
+    session_start, session_end, n_events, sum_value).
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select("user_id", "session_start", "session_end",
+                "n_events", "sum_value")
+    )
+
+
 def read_edges_stream(spark: SparkSession, path: str) -> DataFrame:
     """Tail a directory of edge parquet files (an edge log)."""
     return spark.readStream.schema(EDGES_SCHEMA).parquet(path)

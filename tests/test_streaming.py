@@ -40,6 +40,30 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     assert got == want
 
 
+def test_sessionized_stream_equals_batch_and_islands(spark, tmp_path):
+    batch_src, glob = _stage_event_chunks(spark, tmp_path)
+
+    def key(rows):
+        return sorted((r["user_id"], r["session_start"], r["session_end"],
+                       r["n_events"], round(r["sum_value"], 6)) for r in rows)
+
+    want = key(streaming.sessionized(batch_src).collect())
+
+    stream = streaming.read_events_stream(spark, glob)
+    agg = streaming.sessionized(stream)
+    streaming.run_stream_to_memory(agg, "sessions_tbl", "complete")
+    got = key(spark.table("sessions_tbl").collect())
+    assert got == want
+
+    # cross-check the native session_window semantics against the
+    # gaps-and-islands formulation used by the driver query
+    import __spark_entry__ as e
+
+    islands = e.q_events_sessions(spark, SF)
+    n_sessions = islands.count()
+    assert len(want) == n_sessions
+
+
 def test_streaming_out_degrees_equals_batch(spark, tmp_path):
     edges = spark.createDataFrame(
         [(i % 5, (i * 7) % 11) for i in range(200)], "src BIGINT, dst BIGINT")
