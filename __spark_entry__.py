@@ -307,11 +307,14 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_simhash_near_pairs(spark, sf_dir):
-    # rows-only: xxhash64 is Spark-specific (not portable to DuckDB);
-    # simhash correctness is property-tested in pytest.
+    # Oracle-checked via the PORTABLE md5-derived 60-bit hash family
+    # (dedup.simhash hash_family="md5"): the DuckDB oracle computes
+    # identical signatures.  The xxhash64 family remains the fast
+    # engine-local path.
     from pagerank_spark.pipeline import dedup
 
-    p = dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+    p = dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3,
+                                 bits=60, hash_family="md5")
     return p.select("doc_a", "doc_b",
                     F.col("hamming").cast("bigint").alias("hamming"))
 
@@ -734,6 +737,42 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored)
             SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank
             FROM ranked WHERE rank <= 5
+        """,
+        "simhash_near_pairs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\s+'))
+                           AS tok
+                FROM documents),
+            -- portable 60-bit token hash: int(hex(md5(tok))[:15], 16)
+            hb AS (
+                SELECT doc_id, b.bit,
+                       sum(CASE WHEN
+                               ((('0x' || substr(md5(tok), 1, 15))::BIGINT
+                                 >> b.bit) & 1) = 1
+                           THEN 1 ELSE -1 END) AS s
+                FROM toks
+                CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) b
+                GROUP BY doc_id, b.bit),
+            sig AS (
+                SELECT doc_id,
+                       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit)
+                           ELSE 0 END)::BIGINT AS simhash
+                FROM hb GROUP BY doc_id),
+            bands AS (
+                SELECT doc_id, simhash, t.band,
+                       (simhash >> (15 * t.band)) & 32767 AS key
+                FROM sig
+                CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) t),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.simhash AS sig_a, b.simhash AS sig_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.key = b.key
+                WHERE a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b,
+                   bit_count(xor(sig_a, sig_b))::BIGINT AS hamming
+            FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
         """,
         "ann_lsh_topk": f"""
             WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e

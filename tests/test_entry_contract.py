@@ -39,7 +39,7 @@ def test_oracle_keys_subset_of_queries():
     assert set(os_) <= set(qs)
     # every query is either oracle-checked or deliberately rows-only
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"pagerank_converged", "simhash_near_pairs"}
+    assert rows_only == {"pagerank_converged"}
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql()))

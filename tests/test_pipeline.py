@@ -168,6 +168,31 @@ def test_simhash_properties(spark):
     assert (0, 1) in pairs and pairs[(0, 1)] == 0
 
 
+def test_simhash_md5_family_portable(spark):
+    # the md5 family must be reproducible outside Spark (DuckDB oracle
+    # contract): recompute one signature in pure Python.
+    import hashlib
+
+    text = "one two three two one"
+    d = _mk_docs(spark, [text])
+    sig = dedup.simhash(d, bits=60, hash_family="md5").first()["simhash"]
+    sums = [0] * 60
+    for tok in text.split():
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        for i in range(60):
+            sums[i] += 1 if (h >> i) & 1 else -1
+    want = sum(1 << i for i in range(60) if sums[i] > 0)
+    assert sig == want
+    # property relations hold for the portable family too
+    base = "one two three four five six seven eight nine ten " * 3
+    near = base.replace("five", "fivex", 1)
+    d2 = _mk_docs(spark, [base, base, near])
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup.simhash_near_pairs(
+                 d2, max_hamming=8, bits=60, hash_family="md5").collect()}
+    assert pairs.get((0, 1)) == 0
+
+
 def test_embedding_near_dups(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),
