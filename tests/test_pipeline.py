@@ -49,6 +49,17 @@ def test_exact_dup_stats_and_filter(spark):
     assert kept == [0, 1, 3]  # min doc_id survives each group
 
 
+def test_lsh_buckets_wide_identical_to_long(spark, docs):
+    d = docs.limit(50).select("doc_id", "text")
+    long_b = {(r["doc_id"], r["band"]): r["bucket"]
+              for r in dedup.lsh_buckets(
+                  dedup.minhash_signatures(d, 12), 4).collect()}
+    wide_b = {(r["doc_id"], r["band"]): r["bucket"]
+              for r in dedup.lsh_buckets_wide(
+                  dedup.minhash_signatures_wide(d, 12), 12, 4).collect()}
+    assert long_b == wide_b
+
+
 def test_minhash_bucket_cap(spark):
     # 20 identical docs share every LSH bucket: uncapped pairing is
     # quadratic (C(20,2) pairs); the cap drops the degenerate bucket.
