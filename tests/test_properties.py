@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis) and boundary cases.
+
+SURVEY.md §5 item 5: Σpr → 1 at convergence, rank invariance under
+vertex-id permutation, triangle invariance under direction flips, CC
+label = min id in component — here generated over arbitrary small
+graphs rather than fixed seeds, with hypothesis shrinking failures.
+Example counts are kept small: each example spins Spark jobs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from conftest import edges_df
+from oracles import components_oracle, pagerank_oracle, triangles_oracle
+from pagerank_spark import graph
+from pagerank_spark.operators import (
+    connected_components,
+    pagerank,
+    triangle_count,
+)
+
+SLOW = settings(max_examples=6, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1, max_size=40)
+
+
+@given(edges=edges_strategy)
+@SLOW
+def test_cc_label_is_component_min(spark, edges):
+    got = {r["id"]: r["component"]
+           for r in connected_components(edges_df(spark, edges)).collect()}
+    assert got == components_oracle(edges)
+
+
+@given(edges=edges_strategy)
+@SLOW
+def test_triangles_direction_invariant_and_exact(spark, edges):
+    want = triangles_oracle(edges)
+    assert triangle_count(edges_df(spark, edges)) == want
+    flipped = [(d, s) for s, d in edges]
+    assert triangle_count(edges_df(spark, flipped)) == want
+
+
+@given(edges=st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                      min_size=1, max_size=25))
+@SLOW
+def test_pagerank_matches_oracle_and_sums_to_one(spark, edges):
+    g = graph.prepare(edges_df(spark, edges))
+    res = pagerank(g, tol=1e-8)
+    oracle_rep, _, oracle_it, _ = pagerank_oracle(edges, tol=1e-8)
+    assert res.iterations == oracle_it
+    ranks = {r["id"]: r["pr"] for r in res.ranks.collect()}
+    for v, want in enumerate(oracle_rep):
+        assert ranks[v] == pytest.approx(want, abs=1e-9)
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_pagerank_rank_invariant_under_permutation(spark):
+    # relabeling vertices permutes ranks but never changes their values
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (1, 3)]
+    perm = {0: 3, 1: 0, 2: 2, 3: 1}
+    g1 = graph.prepare(edges_df(spark, edges))
+    g2 = graph.prepare(edges_df(spark, [(perm[s], perm[d]) for s, d in edges]))
+    r1 = {r["id"]: r["pr"] for r in pagerank(g1, tol=1e-10).ranks.collect()}
+    r2 = {r["id"]: r["pr"] for r in pagerank(g2, tol=1e-10).ranks.collect()}
+    for v, pr in r1.items():
+        assert r2[perm[v]] == pytest.approx(pr, abs=1e-12)
+
+
+# ------------------------------------------------------------ boundaries
+def test_empty_graph(spark):
+    empty = spark.createDataFrame([], "src BIGINT, dst BIGINT")
+    g = graph.prepare(empty)
+    assert g.n == 0
+    res = pagerank(g)
+    assert res.iterations == 0
+    assert res.ranks.count() == 0
+    assert connected_components(empty).count() == 0
+    assert triangle_count(empty) == 0
+
+
+def test_single_self_loop_graph(spark):
+    g = graph.prepare(edges_df(spark, [(0, 0)]))
+    res = pagerank(g, tol=1e-10)
+    ranks = {r["id"]: r["pr"] for r in res.ranks.collect()}
+    assert set(ranks) == {0}
+    oracle_rep, _, oracle_it, _ = pagerank_oracle([(0, 0)], tol=1e-10)
+    assert res.iterations == oracle_it
+    assert ranks[0] == pytest.approx(oracle_rep[0], abs=1e-12)
+
+
+def test_empty_documents(spark):
+    from pagerank_spark.pipeline import dedup, textstats
+
+    docs = spark.createDataFrame([], "doc_id BIGINT, text STRING")
+    assert dedup.exact_duplicates(docs).count() == 0
+    assert dedup.minhash_candidate_pairs(docs).count() == 0
+    assert dedup.ngram_jaccard_pairs(docs, max_df=5).count() == 0
+    assert dedup.simhash_near_pairs(docs).count() == 0
+    assert textstats.token_counts(docs).count() == 0
+
+
+def test_blank_text_document(spark):
+    from pagerank_spark.pipeline import dedup, textstats
+
+    docs = spark.createDataFrame([(1, ""), (2, "   ")],
+                                 "doc_id BIGINT, text STRING")
+    assert textstats.token_counts(docs).count() == 2
+    assert textstats.quality_scores(docs).count() == 2
+    # blank texts produce the empty-ish shingle; engine must not throw
+    assert dedup.minhash_signatures(docs, 4).count() == 8
