@@ -155,16 +155,22 @@ def _prev_round_diff(timings: dict, total: float) -> dict | None:
         prev_total = parsed.get("value")
     except (OSError, json.JSONDecodeError, AttributeError):
         return None
+    # Compare only over the INTERSECTION of query sets: a raw
+    # total-vs-total diff misattributes added/removed timers as engine
+    # regressions/improvements.
+    shared = sorted(set(timings) & set(prev_queries))
     return {
         "round": n,
         "total_prev": prev_total,
-        "total_delta": (round(total - prev_total, 3)
-                        if isinstance(prev_total, (int, float)) else None),
+        "shared_total": round(sum(timings[q] for q in shared), 3),
+        "shared_total_prev": round(sum(prev_queries[q] for q in shared), 3),
+        "shared_total_delta": round(
+            sum(timings[q] - prev_queries[q] for q in shared), 3),
         "queries_delta": {
-            q: round(t - prev_queries[q], 3)
-            for q, t in timings.items() if q in prev_queries
+            q: round(timings[q] - prev_queries[q], 3) for q in shared
         },
         "queries_new": sorted(q for q in timings if q not in prev_queries),
+        "queries_removed": sorted(q for q in prev_queries if q not in timings),
     }
 
 

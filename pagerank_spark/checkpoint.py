@@ -69,19 +69,46 @@ class _PathOps:
         self._fs(p).mkdirs(self._jpath(p))
 
     def write_text(self, p: str, data: str) -> None:
-        """Atomic-enough single-file write (Hadoop create is
-        replace-on-close; local uses rename)."""
+        """Write-then-rename single-file write on both branches.
+        (Hadoop ``create(overwrite=True)`` truncates the DESTINATION at
+        open time, so writing directly would destroy the previous file
+        on a mid-write crash; writing a side file and renaming keeps
+        the old content intact until the new one is complete.)"""
         if not self.remote:
             tmp = p + ".tmp"
             with open(tmp, "w") as f:
                 f.write(data)
             os.replace(tmp, p)
             return
-        out = self._fs(p).create(self._jpath(p), True)
+        fs = self._fs(p)
+        tmp = self._jpath(p + ".tmp")
+        out = fs.create(tmp, True)
         try:
             out.write(bytearray(data, "utf-8"))
         finally:
             out.close()
+        dst = self._jpath(p)
+        if fs.exists(dst):
+            fs.delete(dst, False)
+        fs.rename(tmp, dst)
+
+    def read_text(self, p: str) -> str | None:
+        if not self.remote:
+            if not os.path.exists(p):
+                return None
+            with open(p) as f:
+                return f.read()
+        fs = self._fs(p)
+        jp = self._jpath(p)
+        if not fs.exists(jp):
+            return None
+        stream = fs.open(jp)
+        try:
+            jvm = self.spark._jvm
+            return jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8")
+        finally:
+            stream.close()
 
     def delete(self, p: str) -> None:
         if not self.remote:
@@ -159,6 +186,21 @@ class CheckpointManager:
         d = self._metrics_dir(it)
         self.ops.mkdirs(d)
         self.ops.write_text(os.path.join(d, "metrics.json"), json.dumps(row))
+
+    def read_metric(self, it: int, key: str):
+        """One metric value for one iteration, or None if that
+        iteration's metrics were never committed (driver-side file
+        read — no Spark job)."""
+        import json
+
+        raw = self.ops.read_text(
+            os.path.join(self._metrics_dir(it), "metrics.json"))
+        if raw is None:
+            return None
+        try:
+            return json.loads(raw).get(key)
+        except json.JSONDecodeError:
+            return None
 
     def read_metrics(self) -> DataFrame:
         base = os.path.join(self.root, "metrics")

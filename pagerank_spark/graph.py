@@ -197,7 +197,13 @@ def encode_dense_ids(edges_str: DataFrame, src_col: str = "src_repo",
         .withColumn("id", (F.row_number().over(w) - F.lit(1)
                            + F.col("offset")).cast("bigint"))
         .select("name", "id")
+        # Materialize the dictionary once: it is consumed TWICE below
+        # (src and dst joins), and checkpointing it here both freezes
+        # the mapping and lets the range-partitioned intermediate be
+        # released instead of staying cached for the session.
+        .localCheckpoint(eager=True)
     )
+    parted.unpersist()
     enc = (
         edges_str
         .join(dictionary.withColumnRenamed("name", src_col)
@@ -256,9 +262,15 @@ def prepare(edges_raw: DataFrame, partitions: int | None = None,
     spark = edges_raw.sparkSession
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = dedupe_edges(edges_raw)
+    sized = None
     if partitions is None:
+        # Sizing pass: cache (NOT checkpoint) the deduped edges for the
+        # count so the same blocks feed the repartition below and can
+        # be RELEASED afterwards — a second eager checkpoint here would
+        # leave an unreachable |E|-sized RDD pinned for the session.
         if persist:
-            edges = edges.localCheckpoint(eager=True)
+            sized = edges.persist()
+            edges = sized
         n_edges = edges.count()
         partitions = max(
             min(shuffle_parts, n_edges // EDGES_PER_PARTITION + 1),
@@ -272,6 +284,8 @@ def prepare(edges_raw: DataFrame, partitions: int | None = None,
         # independent of how deep the upstream (e.g. extraction)
         # pipeline was.
         edges = edges.localCheckpoint(eager=True)
+        if sized is not None:
+            sized.unpersist()
     deg = out_degrees(edges)
     if persist:
         deg = deg.persist()

@@ -189,13 +189,10 @@ def _pagerank_loop(
     # reports UnknownPartitioning at checkpoint time), so per iteration
     # only the |V|-row rank side shuffles to match, plus the partial
     # aggregates (bounded by |distinct dst| per partition, not |E|).
-    # Plan shape asserted in tests/test_plans.py.
-    gather_edges = graph.edges
-    if gather_mode == "shuffle":
-        gather_edges = graph.edges.repartition(
-            graph.edges.rdd.getNumPartitions(), "src").persist()
-        gather_edges.count()
-
+    # Plan shape asserted in tests/test_plans.py.  The salted override
+    # is resolved FIRST so a salted run never builds (and caches) a
+    # shuffle layout it will not use; all loop-scoped caches are
+    # released in _release_gather_caches before returning.
     salted_ctx = None
     if salt_threshold is not None:
         gather_mode = "salted"
@@ -207,6 +204,12 @@ def _pagerank_loop(
         )
         salted_edges.count()
         salted_ctx = (salted_edges, hot, num_salts)
+
+    gather_edges = graph.edges
+    if gather_mode == "shuffle":
+        gather_edges = graph.edges.repartition(
+            graph.edges.rdd.getNumPartitions(), "src").persist()
+        gather_edges.count()
 
     # State: (id, pr, prev_pr, out_deg NULL⇔dangling).  Carrying out_deg
     # in the state avoids a per-iteration anti-join for the dangling
@@ -222,7 +225,14 @@ def _pagerank_loop(
         state = checkpoint.read_state(it).persist()
         agg = _state_agg(state)
         dangling, prev_l1 = agg["dangling"], agg["l1"]
-        if _stopped(prev_l1, None, stop_rule, tol):
+        # The resume-time stop check must see the SAME (l1, prev_l1)
+        # pair the original run saw at iteration ``it`` — the
+        # reference rule's plateau branch compares against the
+        # previous iteration's L1, recovered from the metrics log when
+        # that iteration was checkpointed (always true at interval=1).
+        prior_l1 = checkpoint.read_metric(it - 1, "l1")
+        if _stopped(prev_l1, prior_l1, stop_rule, tol):
+            _release_gather_caches(gather_mode, gather_edges, salted_ctx)
             return _finish(state, it, prev_l1, metrics, stopped=True)
     else:
         # Q1: zero init.
@@ -285,8 +295,23 @@ def _pagerank_loop(
         prev_l1 = l1
         dangling = next_dangling
 
+    _release_gather_caches(gather_mode, gather_edges, salted_ctx)
     return _finish(state, it, metrics[-1]["l1"] if metrics else prev_l1,
                    metrics, stopped)
+
+
+def _release_gather_caches(gather_mode: str, gather_edges: DataFrame,
+                           salted_ctx: tuple | None) -> None:
+    """Release the loop-scoped |E|-sized caches (shuffle relaid edges,
+    salted edges, hot set) — the result frames derive only from the
+    state table, so repeated pagerank() calls must not accumulate
+    edge-table copies in executor storage."""
+    if gather_mode == "shuffle":
+        gather_edges.unpersist()
+    if salted_ctx is not None:
+        salted_edges, hot, _ = salted_ctx
+        salted_edges.unpersist()
+        hot.unpersist()
 
 
 def _state_agg(state: DataFrame) -> dict:

@@ -93,11 +93,8 @@ def extract_features(media: DataFrame, n_features: int = 8,
     container has no image/audio libs).
 
     Histogram bins are ``n_features`` equal byte-value ranges over
-    [0, 256); 256 must be divisible by ``n_features``.
+    [0, 256) (``np.histogram`` edge semantics, any ``n_features``).
     """
-    if 256 % n_features != 0:
-        raise ValueError("n_features must divide 256")
-
     annotated = media.select(
         "doc_id", "kind", "payload",
         F.length("payload").cast("int").alias("n_bytes"),
@@ -121,7 +118,13 @@ def extract_features(media: DataFrame, n_features: int = 8,
             if n and lens.sum() > 0:
                 concat = np.concatenate(decoded)
                 doc_idx = np.repeat(np.arange(n), lens)
-                bin_idx = concat.astype(np.int64) * n_features // 256
+                # np.histogram-equivalent equal-width binning over
+                # [0, 256), vectorized across the whole batch; works
+                # for any n_features (not just divisors of 256).
+                bin_edges = np.linspace(0.0, 256.0, n_features + 1)
+                bin_idx = np.minimum(
+                    np.searchsorted(bin_edges, concat, side="right") - 1,
+                    n_features - 1)
                 flat = np.bincount(doc_idx * n_features + bin_idx,
                                    minlength=n * n_features)
             else:

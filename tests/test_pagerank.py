@@ -170,8 +170,33 @@ def test_checkpoint_hadoop_fs_uri_root(spark, tmp_path):
 
     ck.prune_states_before(9)
     assert ck.committed_iterations() == [9, 10]
+    # metric reads work through the Hadoop branch too
+    assert ck.read_metric(10, "l1") is not None
+    assert ck.read_metric(999, "l1") is None
     ck.clear()
     assert ck.committed_iterations() == []
+
+
+def test_resume_stop_check_recovers_prior_l1(spark, tmp_path):
+    # The reference stop rule's plateau branch compares successive L1
+    # values; a resumed run must recover the prior iteration's L1 from
+    # the metrics log instead of silently skipping the branch.
+    from pagerank_spark.operators.pagerank import _stopped
+
+    assert _stopped(2e-5, 2e-5 + 5e-8, "reference", 1e-10) is True
+    assert _stopped(2e-5, None, "reference", 1e-10) is False
+
+    g = graph.prepare(edges_df(spark, F2_EDGES))
+    ck = CheckpointManager(spark, str(tmp_path / "ref"), interval=1)
+    full = pagerank(g, stop_rule="reference", checkpoint=ck)
+    assert full.iterations == 61
+    # the committed metrics expose the exact (l1, prior_l1) pair the
+    # resume-time stop check needs
+    assert ck.read_metric(full.iterations - 1, "l1") == \
+        full.metrics[-2]["l1"]
+    resumed = pagerank(g, stop_rule="reference", checkpoint=ck, resume=True)
+    assert resumed.iterations == full.iterations
+    assert _ranks_dict(resumed.ranks) == _ranks_dict(full.ranks)
 
 
 def test_checkpoint_carries_partition_lineage(spark, tmp_path):
