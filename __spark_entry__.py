@@ -172,10 +172,11 @@ def q_connected_components(spark, sf_dir):
 def q_components_domain(spark, sf_dir):
     """Components over the full dense vertex domain [0, N): isolated
     in-domain ids (reference quirk Q3) label themselves."""
+    from pagerank_spark import graph as G
     from pagerank_spark.operators.components import components_with_domain
 
-    g = _graph(spark, sf_dir)
-    return components_with_domain(g.edges, g.n)
+    e = _edges(spark, sf_dir)
+    return components_with_domain(e, G.num_vertices(e))
 
 
 def q_triangles_per_vertex(spark, sf_dir):

@@ -125,13 +125,16 @@ def main() -> None:
         "cpus": cpus,
         "detail": detail,
     }
-    prev = _prev_round_diff(timings, total)
+    try:
+        prev = _prev_round_diff(timings)
+    except Exception:  # noqa: BLE001 — diffing must never lose the run
+        prev = None
     if prev is not None:
         out["prev"] = prev
     print(json.dumps(out))
 
 
-def _prev_round_diff(timings: dict, total: float) -> dict | None:
+def _prev_round_diff(timings: dict) -> dict | None:
     """Per-query regression tracking: diff against the latest driver-
     recorded BENCH_r{N}.json so round-over-round regressions are
     mechanically visible (negative delta = faster this round)."""
@@ -157,7 +160,10 @@ def _prev_round_diff(timings: dict, total: float) -> dict | None:
         return None
     # Compare only over the INTERSECTION of query sets: a raw
     # total-vs-total diff misattributes added/removed timers as engine
-    # regressions/improvements.
+    # regressions/improvements.  Non-numeric prior entries (partial or
+    # corrupted records) are excluded rather than crashing the run.
+    prev_queries = {q: v for q, v in prev_queries.items()
+                    if isinstance(v, (int, float))}
     shared = sorted(set(timings) & set(prev_queries))
     return {
         "round": n,

@@ -70,10 +70,15 @@ class _PathOps:
 
     def write_text(self, p: str, data: str) -> None:
         """Write-then-rename single-file write on both branches.
-        (Hadoop ``create(overwrite=True)`` truncates the DESTINATION at
-        open time, so writing directly would destroy the previous file
-        on a mid-write crash; writing a side file and renaming keeps
-        the old content intact until the new one is complete.)"""
+
+        Local: atomic via ``os.replace``.  Remote: Hadoop
+        ``create(overwrite=True)`` truncates the DESTINATION at open
+        time, so the data is written to a side file first and renamed
+        over; the old content survives anything up to the final
+        delete+rename pair (a crash inside that tiny window can still
+        lose the previous row — HDFS has no portable atomic-replace on
+        the plain FileSystem API), and a failed rename raises instead
+        of silently dropping the write."""
         if not self.remote:
             tmp = p + ".tmp"
             with open(tmp, "w") as f:
@@ -90,7 +95,8 @@ class _PathOps:
         dst = self._jpath(p)
         if fs.exists(dst):
             fs.delete(dst, False)
-        fs.rename(tmp, dst)
+        if not fs.rename(tmp, dst):
+            raise IOError(f"rename {p}.tmp -> {p} failed")
 
     def read_text(self, p: str) -> str | None:
         if not self.remote:

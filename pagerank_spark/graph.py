@@ -264,18 +264,24 @@ def prepare(edges_raw: DataFrame, partitions: int | None = None,
     edges = dedupe_edges(edges_raw)
     sized = None
     if partitions is None:
-        # Sizing pass: cache (NOT checkpoint) the deduped edges for the
-        # count so the same blocks feed the repartition below and can
-        # be RELEASED afterwards — a second eager checkpoint here would
-        # leave an unreachable |E|-sized RDD pinned for the session.
-        if persist:
+        if not persist:
+            # No cache to amortize the sizing count — a data-driven
+            # size would re-run the dedupe shuffle twice.  Fall back
+            # to the session shuffle width.
+            partitions = shuffle_parts
+        else:
+            # Sizing pass: cache (NOT checkpoint) the deduped edges for
+            # the count so the same blocks feed the repartition below
+            # and can be RELEASED afterwards — a second eager
+            # checkpoint here would leave an unreachable |E|-sized RDD
+            # pinned for the session.
             sized = edges.persist()
             edges = sized
-        n_edges = edges.count()
-        partitions = max(
-            min(shuffle_parts, n_edges // EDGES_PER_PARTITION + 1),
-            min(8, shuffle_parts),
-        )
+            n_edges = edges.count()
+            partitions = max(
+                min(shuffle_parts, n_edges // EDGES_PER_PARTITION + 1),
+                min(8, shuffle_parts),
+            )
     edges = edges.repartition(partitions, "dst")
     if persist:
         # Eager truncation: iterative operators re-analyze the edge

@@ -211,6 +211,32 @@ def _pagerank_loop(
             graph.edges.rdd.getNumPartitions(), "src").persist()
         gather_edges.count()
 
+    # Everything from here runs under try/finally: the |E|-sized
+    # loop-scoped caches must be released on EVERY exit path —
+    # including job failures and interrupts mid-loop — or retries
+    # accumulate edge-table copies in executor storage.
+    try:
+        return _run_iterations(
+            graph, spark, n, damping, tol, max_iter, stop_rule, checkpoint,
+            gather_mode, resume, gather_edges, salted_ctx)
+    finally:
+        _release_gather_caches(gather_mode, gather_edges, salted_ctx)
+
+
+def _run_iterations(
+    graph: Graph,
+    spark,
+    n: int,
+    damping: float,
+    tol: float,
+    max_iter: int,
+    stop_rule: str,
+    checkpoint: CheckpointManager | None,
+    gather_mode: str,
+    resume: bool,
+    gather_edges: DataFrame,
+    salted_ctx: tuple | None,
+) -> PageRankResult:
     # State: (id, pr, prev_pr, out_deg NULL⇔dangling).  Carrying out_deg
     # in the state avoids a per-iteration anti-join for the dangling
     # mass (ref recomputes it with a full filter pass each step,
@@ -232,7 +258,6 @@ def _pagerank_loop(
         # that iteration was checkpointed (always true at interval=1).
         prior_l1 = checkpoint.read_metric(it - 1, "l1")
         if _stopped(prev_l1, prior_l1, stop_rule, tol):
-            _release_gather_caches(gather_mode, gather_edges, salted_ctx)
             return _finish(state, it, prev_l1, metrics, stopped=True)
     else:
         # Q1: zero init.
@@ -295,7 +320,6 @@ def _pagerank_loop(
         prev_l1 = l1
         dangling = next_dangling
 
-    _release_gather_caches(gather_mode, gather_edges, salted_ctx)
     return _finish(state, it, metrics[-1]["l1"] if metrics else prev_l1,
                    metrics, stopped)
 

@@ -59,6 +59,19 @@ def test_lsh_buckets_wide_identical_to_long(spark, docs):
                   dedup.minhash_signatures_wide(d, 12), 12, 4).collect()}
     assert long_b == wide_b
 
+    # num_hashes < bands: empty bands emit NO rows (a constant-bucket
+    # row there would pair every doc with every other doc)
+    small = _mk_docs(spark, ["aa bb cc dd", "zz yy xx ww"])
+    long3 = {(r["doc_id"], r["band"]): r["bucket"]
+             for r in dedup.lsh_buckets(
+                 dedup.minhash_signatures(small, 3), 4).collect()}
+    wide3 = {(r["doc_id"], r["band"]): r["bucket"]
+             for r in dedup.lsh_buckets_wide(
+                 dedup.minhash_signatures_wide(small, 3), 3, 4).collect()}
+    assert long3 == wide3
+    assert dedup.minhash_candidate_pairs(small, num_hashes=3,
+                                         bands=4).count() == 0
+
 
 def test_minhash_bucket_cap(spark):
     # 20 identical docs share every LSH bucket: uncapped pairing is
