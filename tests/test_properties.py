@@ -21,7 +21,10 @@ from pagerank_spark.operators import (
     triangle_count,
 )
 
-SLOW = settings(max_examples=6, deadline=None,
+# Each example spins real Spark jobs (seconds each); keep the counts
+# small — the fixed-seed tests in test_algorithms/test_pagerank carry
+# the bulk of coverage, hypothesis adds shrinking on the frontier.
+SLOW = settings(max_examples=3, deadline=None,
                 suppress_health_check=[HealthCheck.function_scoped_fixture])
 
 edges_strategy = st.lists(
