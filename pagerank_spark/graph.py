@@ -288,8 +288,16 @@ def prepare(edges_raw: DataFrame, partitions: int | None = None,
         # plan EVERY iteration; materializing it once behind a
         # LogicalRDD keeps per-iteration planning O(iteration plan),
         # independent of how deep the upstream (e.g. extraction)
-        # pipeline was.
-        edges = edges.localCheckpoint(eager=True)
+        # pipeline was.  The checkpoint runs with AQE suspended so the
+        # LogicalRDD RECORDS the hash(dst) partitioning (adaptive
+        # plans report UnknownPartitioning at checkpoint time) —
+        # with it known, the per-iteration groupBy(dst) aggregates in
+        # place and the broadcast-gather iteration has ZERO data
+        # exchanges.
+        from pagerank_spark.session import static_plan
+
+        with static_plan(spark):
+            edges = edges.localCheckpoint(eager=True)
         if sized is not None:
             sized.unpersist()
     deg = out_degrees(edges)
