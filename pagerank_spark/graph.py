@@ -288,16 +288,21 @@ def prepare(edges_raw: DataFrame, partitions: int | None = None,
         # plan EVERY iteration; materializing it once behind a
         # LogicalRDD keeps per-iteration planning O(iteration plan),
         # independent of how deep the upstream (e.g. extraction)
-        # pipeline was.  The checkpoint runs with AQE suspended so the
-        # LogicalRDD RECORDS the hash(dst) partitioning (adaptive
-        # plans report UnknownPartitioning at checkpoint time) —
-        # with it known, the per-iteration groupBy(dst) aggregates in
-        # place and the broadcast-gather iteration has ZERO data
-        # exchanges.
-        from pagerank_spark.session import static_plan
-
-        with static_plan(spark):
-            edges = edges.localCheckpoint(eager=True)
+        # pipeline was.
+        #
+        # Deliberately checkpointed WITHOUT a recorded output
+        # partitioning (AQE is active here, so the LogicalRDD reports
+        # UnknownPartitioning): recording hash(dst) lets PageRank's
+        # groupBy(dst) aggregate in place (saving one small partial-agg
+        # exchange per iteration, ~5%), but pessimizes every OTHER
+        # consumer whose clustering keys are supersets — measured 3.4x
+        # slower triangle counting (interleaved minima), because
+        # downstream dedupes/aggregations stay pinned to the narrow
+        # recorded layout instead of re-spreading to the cluster
+        # width.  The shared graph keeps the neutral layout; operators
+        # that want a recorded layout build their own copy (see
+        # operators/pagerank.py shuffle mode).
+        edges = edges.localCheckpoint(eager=True)
         if sized is not None:
             sized.unpersist()
     deg = out_degrees(edges)
