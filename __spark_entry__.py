@@ -33,6 +33,15 @@ ADJ_SALT_THRESHOLD = 40   # in-degree above which a dst is salted
 ADJ_NUM_SALTS = 4         # salted-adjacency chunk count
 SESSION_GAP_US = 1800 * 1_000_000  # 30-min session gap, integer microseconds
 LSH_PLANES, LSH_TABLES, LSH_SEED = 4, 8, 42  # ann_lsh_topk params
+# Unrolled-iteration count for the pagerank_converged oracle.  The
+# engine stops at L1 < 1e-10 (~130 iterations on these graphs: the L1
+# delta contracts by the damping factor 0.85 per step, so it falls one
+# decade every ~14 iterations); at k=180 the oracle iterate is within
+# ~1e-13 of the fixed point, and the engine's reported vector within
+# ~1e-9 — both ≪ the round(pr, 7) quantum, so the rounded outputs
+# coincide.
+PAGERANK_ORACLE_ITERS = 180
+FRAME_EVERY_N = 10  # video_frames sampling stride, both engines
 
 # ------------------------------------------------------------------ helpers
 
@@ -155,7 +164,10 @@ def q_pagerank_k3(spark, sf_dir):
 
 
 def q_pagerank_converged(spark, sf_dir):
-    # rows-only: iterative to convergence, not ANSI-SQL-expressible.
+    # Oracle-checked via a generated unrolled fixed-k CTE chain (see
+    # _pagerank_unrolled_sql): past convergence successive iterates
+    # differ by << the ROUND quantum, so a generous fixed k in DuckDB
+    # reproduces the engine's converged vector digit-for-digit.
     from pagerank_spark.operators import pagerank
 
     g = _graph(spark, sf_dir)
@@ -423,6 +435,44 @@ _SHINGLE_SQL = """
     )
 """
 
+def _pagerank_unrolled_sql(k: int) -> str:
+    """Generate the k-step unrolled DuckDB PageRank chain.
+
+    Same per-step math as the hand-written ``pagerank_k3`` oracle
+    (zero init ⇒ step 1 is the pure teleport vector; per step:
+    dangling mass from the previous iterate, gather join, affine
+    update — reference semantics, SURVEY.md §7 Q1-Q3).  The shared
+    base tables are ``MATERIALIZED``: DuckDB would otherwise inline
+    the edge CTE into every one of the k gather joins and re-open the
+    parquet scan k times.
+    """
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGE_SQL}),",
+        "n AS MATERIALIZED (SELECT (max(greatest(src, dst)) + 1)::DOUBLE"
+        " AS n FROM edges),",
+        "outd AS MATERIALIZED (SELECT src AS id, count(*)::DOUBLE AS od"
+        " FROM edges GROUP BY src),",
+        "verts AS MATERIALIZED (SELECT unnest(generate_series(0,"
+        " (SELECT n::BIGINT - 1 FROM n)))::BIGINT AS id),",
+        # step 1 from the zero vector: gather 0, dangling skipped.
+        "p1 AS (SELECT id, 0.15 / (SELECT n FROM n) AS pr FROM verts)",
+    ]
+    for i in range(2, k + 1):
+        parts.append(f""",
+            d{i} AS (SELECT coalesce(sum(p.pr), 0) AS d FROM p{i - 1} p
+                     LEFT JOIN outd o ON p.id = o.id WHERE o.id IS NULL),
+            g{i} AS (SELECT e.dst AS id, sum(p.pr / o.od) AS c
+                     FROM edges e JOIN p{i - 1} p ON e.src = p.id
+                     JOIN outd o ON e.src = o.id GROUP BY e.dst),
+            p{i} AS MATERIALIZED (SELECT v.id,
+                     (coalesce(g.c, 0)
+                      + (SELECT d FROM d{i}) / (SELECT n FROM n)) * 0.85
+                      + 0.15 / (SELECT n FROM n) AS pr
+                     FROM verts v LEFT JOIN g{i} g ON v.id = g.id)""")
+    parts.append(f"\nSELECT id, round(pr, {ROUND}) AS pr FROM p{k}")
+    return "".join(parts)
+
+
 _EN_STOPS = "['the','and','of','to','is']"
 
 _LANG_LISTS = {
@@ -515,6 +565,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM verts v LEFT JOIN g3 g ON v.id = g.id)
             SELECT id, round(pr, 9) AS pr FROM p3
         """,
+        "pagerank_converged": _pagerank_unrolled_sql(PAGERANK_ORACLE_ITERS),
         "connected_components": f"""
             WITH RECURSIVE edges AS ({_EDGE_SQL}),
             sym AS (SELECT src, dst FROM edges WHERE src <> dst
