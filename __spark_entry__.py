@@ -42,6 +42,7 @@ LSH_PLANES, LSH_TABLES, LSH_SEED = 4, 8, 42  # ann_lsh_topk params
 # coincide.
 PAGERANK_ORACLE_ITERS = 180
 FRAME_EVERY_N = 10  # video_frames sampling stride, both engines
+EXACT_DUP_SAMPLE_IDS = 8  # bounded per-digest member sample, both engines
 
 # ------------------------------------------------------------------ helpers
 
@@ -242,9 +243,13 @@ def q_doc_fingerprints(spark, sf_dir):
 
 
 def q_exact_dup_groups(spark, sf_dir):
+    """Exact-dup groups with exact n_docs and a BOUNDED sample of the
+    EXACT_DUP_SAMPLE_IDS smallest member ids (no unbounded per-group
+    arrays — see dedup.exact_duplicates)."""
     from pagerank_spark.pipeline import dedup
 
-    d = dedup.exact_duplicates(_docs(spark, sf_dir))
+    d = dedup.exact_duplicates(_docs(spark, sf_dir),
+                               max_ids=EXACT_DUP_SAMPLE_IDS)
     return d.select("digest", F.col("n_docs").cast("bigint").alias("n_docs"),
                     F.array_join(F.transform("doc_ids",
                                              lambda x: x.cast("string")), ",")
@@ -711,11 +716,21 @@ def oracle_sql() -> dict[str, str]:
                        AS fingerprint
             FROM documents
         """,
-        "exact_dup_groups": """
-            SELECT md5(text) AS digest, count(*)::BIGINT AS n_docs,
-                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+        "exact_dup_groups": f"""
+            WITH d AS (SELECT md5(text) AS digest, doc_id FROM documents),
+            g AS (SELECT digest, count(*)::BIGINT AS n_docs
+                  FROM d GROUP BY digest HAVING count(*) > 1),
+            -- same bounded sample as the engine: the
+            -- {EXACT_DUP_SAMPLE_IDS} smallest member ids per digest
+            r AS (SELECT d.digest, d.doc_id, row_number() OVER (
+                      PARTITION BY d.digest ORDER BY d.doc_id) AS rn
+                  FROM d JOIN g ON d.digest = g.digest)
+            SELECT g.digest, g.n_docs,
+                   string_agg(r.doc_id::VARCHAR, ',' ORDER BY r.doc_id)
                        AS doc_ids_str
-            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+            FROM g JOIN r ON g.digest = r.digest
+            WHERE r.rn <= {EXACT_DUP_SAMPLE_IDS}
+            GROUP BY g.digest, g.n_docs
         """,
         "exact_dup_stats": """
             SELECT md5(text) AS digest, count(*)::BIGINT AS n_docs,

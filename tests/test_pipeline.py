@@ -40,6 +40,35 @@ def test_exact_duplicates(spark):
     assert rows[0]["digest"] == hashlib.md5(b"a b c").hexdigest()
 
 
+def test_exact_duplicates_sample_cap(spark):
+    # 6-member group with max_ids=3: exact count, 3 smallest ids only.
+    d = _mk_docs(spark, ["s"] * 6 + ["unique one"])
+    rows = dedup.exact_duplicates(d, max_ids=3).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_docs"] == 6
+    assert rows[0]["doc_ids"] == [0, 1, 2]
+
+
+def test_exact_duplicates_degenerate_group_bounded(spark):
+    # A web-scale degenerate digest: 1M identical docs in ONE group.
+    # The iterated-min formulation keeps every aggregation state a
+    # scalar (no collect_list buffer), so this completes with bounded
+    # task memory; the result is the exact count + the 8 smallest ids.
+    big = spark.range(0, 1_000_000).select(
+        F.col("id").alias("doc_id"), F.lit("boilerplate text").alias("text"))
+    extra = _mk_docs(spark, ["x", "x"]).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+    rows = {r["digest"]: r
+            for r in dedup.exact_duplicates(big.unionByName(extra)).collect()}
+    assert len(rows) == 2
+    boiler = rows[hashlib.md5(b"boilerplate text").hexdigest()]
+    assert boiler["n_docs"] == 1_000_000
+    assert boiler["doc_ids"] == list(range(8))
+    small = rows[hashlib.md5(b"x").hexdigest()]
+    assert small["n_docs"] == 2
+    assert small["doc_ids"] == [2_000_000, 2_000_001]
+
+
 def test_exact_dup_stats_and_filter(spark):
     d = _mk_docs(spark, ["a b c", "x y z", "a b c", "q", "a b c"])
     stats = dedup.exact_duplicate_stats(d).collect()
