@@ -347,6 +347,21 @@ def q_media_metadata(spark, sf_dir):
                         "payload_sha")
 
 
+def q_video_frames(spark, sf_dir):
+    """Frame sampling over synthetic 'video' payloads — pure JVM
+    expressions (sequence explode + substr + sha2), no Python.
+    ``portable_meta`` derives n_frames from length(text) so the DuckDB
+    oracle reproduces the chunking exactly."""
+    from pagerank_spark.pipeline import multimodal
+
+    media = multimodal.synthesize_media(
+        _docs(spark, sf_dir), kind="video", portable_meta=True)
+    frames = multimodal.sample_frames(media, every_n=FRAME_EVERY_N)
+    return frames.select(
+        "doc_id", F.col("frame_no").cast("bigint").alias("frame_no"),
+        "frame_sha")
+
+
 def q_events_sessions(spark, sf_dir):
     """Sessionize events per user with a 30-minute inactivity gap
     (gaps-and-islands via lag + cumulative sum — the batch face of
@@ -420,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "simhash_near_pairs": q_simhash_near_pairs,
         "media_metadata": q_media_metadata,
+        "video_frames": q_video_frames,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
     }
@@ -897,6 +913,26 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text))::BIGINT AS n_bytes,
                    sha256(text) AS payload_sha
             FROM documents
+        """,
+        "video_frames": f"""
+            -- payload = utf-8 bytes of text; the corpus is pure ASCII
+            -- (verified), so DuckDB's char-based substring/sha256 on
+            -- VARCHAR sees the same bytes as Spark's binary substr.
+            WITH m AS (
+                SELECT doc_id, text,
+                       (length(text) % 240 + 1)::INT AS n_frames,
+                       greatest(length(text)
+                                // (length(text) % 240 + 1), 1) AS step
+                FROM documents),
+            f AS (
+                SELECT doc_id, text, step,
+                       unnest(range(0, n_frames,
+                                    {FRAME_EVERY_N})) AS frame_no
+                FROM m)
+            SELECT doc_id, frame_no::BIGINT AS frame_no,
+                   sha256(substring(text, frame_no * step + 1, step))
+                       AS frame_sha
+            FROM f
         """,
         "events_hourly": f"""
             SELECT strftime(date_trunc('hour', ts),

@@ -380,3 +380,70 @@ def test_frame_sampling(spark, docs):
     per_doc = Counter(r["doc_id"] for r in rows)
     for doc_id, nf in metas.items():
         assert per_doc[doc_id] == len(range(0, nf, 10))
+
+
+def test_frame_sampling_matches_python_reference(spark, docs):
+    # The JVM expression operator (posexplode sequence + substr + sha2)
+    # must reproduce the original per-row Python chunking exactly:
+    # step = max(len//n_frames, 1), chunks past the end empty.
+    media = multimodal.synthesize_media(docs.limit(30), kind="video")
+    got = sorted(map(tuple, multimodal.sample_frames(
+        media, every_n=7).collect()))
+    expected = []
+    for r in media.select("doc_id", "payload", "meta.n_frames").collect():
+        buf = bytes(r["payload"])
+        n_frames = max(int(r["n_frames"]), 1)
+        step = max(len(buf) // n_frames, 1)
+        for f in range(0, n_frames, 7):
+            chunk = buf[f * step:(f + 1) * step]
+            expected.append(
+                (r["doc_id"], f, hashlib.sha256(chunk).hexdigest()))
+    assert got == sorted(expected)
+
+
+def test_frame_sampling_no_python(spark, docs):
+    # No Python/Arrow stage anywhere in the frame-sampling plan.
+    media = multimodal.synthesize_media(docs.limit(5), kind="video")
+    plan = multimodal.sample_frames(media)._jdf.queryExecution() \
+        .executedPlan().toString()
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan
+
+
+def test_codec_registry_sandbox_fallback(spark, docs):
+    # This container has no PIL/soundfile: the registry must be empty
+    # and _decode must fall back to the deterministic fake.
+    reg = multimodal.codec_registry()
+    assert "image" not in reg and "audio" not in reg
+    import numpy as np
+
+    out = multimodal._decode(b"abc", "image")
+    assert np.array_equal(out, multimodal._fake_decode(b"abc"))
+
+
+@pytest.mark.skipif("image" not in multimodal.codec_registry(),
+                    reason="PIL not installed (sandbox): real-codec "
+                           "branch requires pillow")
+def test_real_image_codec_branch(spark):
+    # Runs only where pillow IS installed: a real 2x2 PNG must decode
+    # through PIL (not the byte-fake) and featurize end to end.
+    import io as _io
+
+    import numpy as np
+    from PIL import Image
+
+    img = Image.fromarray(
+        np.arange(12, dtype=np.uint8).reshape(2, 2, 3), "RGB")
+    buf = _io.BytesIO()
+    img.save(buf, format="PNG")
+    payload = buf.getvalue()
+    assert np.array_equal(
+        multimodal._decode(payload, "image"),
+        np.arange(12, dtype=np.uint8))
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), ("png", 2, 2, 0, 1))],
+        multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(
+        media, n_features=4, require_real_codecs=True).collect()
+    assert len(feats) == 1 and sum(feats[0]["features"]) == pytest.approx(1.0)
