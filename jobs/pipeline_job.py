@@ -45,6 +45,10 @@ def main() -> None:
                    help="frequent-shingle cap for the jaccard join")
     p.add_argument("--max-bucket", type=int, default=10_000,
                    help="degenerate-LSH-bucket cap for minhash pairing")
+    p.add_argument("--ann-max-bucket", type=int, default=10_000,
+                   help="degenerate-bucket cap for the ann stage's LSH "
+                        "index (every embedding is a query here, so an "
+                        "uncapped dense bucket goes quadratic)")
     p.add_argument("--topk", type=int, default=10)
     p.add_argument("--out", default=None, help="write summary JSON here")
     args = p.parse_args()
@@ -96,7 +100,8 @@ def main() -> None:
             F.col("embedding").cast("array<double>").alias("embedding"))
         queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
         run("ann_topk", similarity.lsh_topk(
-            emb, queries, k=args.topk, vectorized=True))
+            emb, queries, k=args.topk, vectorized=True,
+            max_bucket=args.ann_max_bucket))
 
     summary = {"metric": "pipeline_job", "stages": timings, "rows": rows,
                "total_sec": round(sum(timings.values()), 3)}

@@ -73,6 +73,14 @@ def in_adjacency(edges: DataFrame) -> DataFrame:
     join does NOT need this materialization (flat edges shuffle-join
     better); it exists for operators that want per-vertex neighbor
     arrays and for parity with the reference's data model.
+
+    .. warning:: REFERENCE-PARITY FACE, not the scale path: the
+       per-dst ``collect_list`` is unbounded, so one web-scale hub
+       (millions of in-edges) concentrates its whole neighbor set in a
+       single aggregation buffer.  Anything running at real scale must
+       use :func:`in_adjacency_salted`, which bounds every array at
+       ~in_deg/num_salts; nothing in the engine's hot paths consumes
+       this unsalted form.
     """
     return edges.groupBy("dst").agg(
         F.sort_array(F.collect_list("src")).alias("srcs")
@@ -256,8 +264,13 @@ def prepare(edges_raw: DataFrame, partitions: int | None = None,
     iterations.
 
     Edges are hash partitioned by ``dst`` — the gather's groupBy key —
-    so the per-iteration rank aggregation reuses the layout without a
-    second exchange when the join side is broadcast.
+    but the table is deliberately checkpointed with a NEUTRAL
+    (unrecorded) layout: the per-iteration groupBy(dst) pays one small
+    partial-agg exchange, and every other consumer keeps the full
+    cluster width (see the in-code comment below for the measured
+    trade-off).  Operators that want a recorded layout build their own
+    copy (operators/pagerank.py shuffle mode, labelprop's fused src
+    layout).
     """
     spark = edges_raw.sparkSession
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))

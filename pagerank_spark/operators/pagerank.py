@@ -252,11 +252,14 @@ def _run_iterations(
         agg = _state_agg(state)
         dangling, prev_l1 = agg["dangling"], agg["l1"]
         # The resume-time stop check must see the SAME (l1, prev_l1)
-        # pair the original run saw at iteration ``it`` — the
-        # reference rule's plateau branch compares against the
-        # previous iteration's L1, recovered from the metrics log when
-        # that iteration was checkpointed (always true at interval=1).
-        prior_l1 = checkpoint.read_metric(it - 1, "l1")
+        # pair the original run saw at iteration ``it``.  The metrics
+        # row written AT ``it`` carries prev_l1 directly, so this
+        # works at ANY checkpoint cadence; the it-1 lookup is kept as
+        # a fallback for metrics logs written before prev_l1 existed
+        # (it only resolves when iteration it-1 was on the cadence).
+        prior_l1 = checkpoint.read_metric(it, "prev_l1")
+        if prior_l1 is None:
+            prior_l1 = checkpoint.read_metric(it - 1, "l1")
         if _stopped(prev_l1, prior_l1, stop_rule, tol):
             return _finish(state, it, prev_l1, metrics, stopped=True)
     else:
@@ -304,8 +307,8 @@ def _run_iterations(
         agg = _state_agg(new_state)
         l1, next_dangling, sum_pr = agg["l1"], agg["dangling"], agg["sum_pr"]
         wall_ms = (time.monotonic() - t0) * 1000.0
-        m = {"l1": l1, "dangling_mass": next_dangling, "sum_pr": sum_pr,
-             "wall_ms": wall_ms, "rows": float(n),
+        m = {"l1": l1, "prev_l1": prev_l1, "dangling_mass": next_dangling,
+             "sum_pr": sum_pr, "wall_ms": wall_ms, "rows": float(n),
              "num_partitions": float(new_state.rdd.getNumPartitions())}
         metrics.append({"iteration": it, **m})
         if checkpoint is not None and checkpoint.should_checkpoint(it):

@@ -168,16 +168,35 @@ def _lsh_index_vectorized(embeddings: DataFrame, n_planes: int,
 
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
              n_planes: int = 8, n_tables: int = 2, seed: int = 42,
-             vectorized: bool = False) -> DataFrame:
+             vectorized: bool = False,
+             max_bucket: int | None = None) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH.
 
     Same output shape as ``cosine_topk``; recall measured in tests
     against the exact answer.  Queries hash with the same planes, then
     only same-bucket candidates are scored.  ``vectorized`` selects the
     Arrow/numpy bucket path (see :func:`lsh_index`).
+
+    ``max_bucket`` caps the index-side bucket population, mirroring
+    ``dedup.minhash_candidate_pairs``: a degenerate bucket holding m
+    near-identical vectors contributes m candidate rows to EVERY query
+    hashing there — with all |N| embeddings as queries the bucket
+    equi-join goes quadratic.  Buckets above the cap are dropped from
+    candidate generation (their members are still reachable through
+    the other ``n_tables - 1`` independent tables unless over-dense in
+    all of them — at which point they are near-duplicates, which is
+    the dedup family's job, not ANN's).
     """
     idx = lsh_index(embeddings, n_planes, n_tables, seed,
                     vectorized=vectorized)
+    if max_bucket is not None:
+        small = (
+            idx.groupBy("table", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_bucket)
+            .select("table", "bucket")
+        )
+        idx = idx.join(small, ["table", "bucket"])
     qidx = lsh_index(
         queries.select(F.col("query_id").alias("vec_id"), "embedding"),
         n_planes, n_tables, seed, vectorized=vectorized,

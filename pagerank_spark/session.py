@@ -35,6 +35,15 @@ def static_plan(spark: SparkSession, enabled: bool = True):
     table's co-partitioning.  Loops whose data shape CHANGES per round
     (connected components' geometrically shrinking edge set) keep AQE —
     coalescing there is measured faster.
+
+    .. warning:: the toggle is SESSION-GLOBAL: ``spark.conf`` has no
+       per-query scope, so any concurrent query on the same
+       SparkSession (other driver threads, notebook cells) runs with
+       AQE disabled while the context is open, and nested contexts
+       restore whatever value the inner one observed.  For concurrent
+       workloads give the loop its own ``spark.newSession()`` (shared
+       SparkContext, isolated SQL conf) and pass that session's
+       frames in.
     """
     if not enabled:
         yield

@@ -328,6 +328,28 @@ def test_lsh_topk_recall(spark, embeddings):
     assert recall >= 0.4  # ANN quality floor at these settings
 
 
+def test_lsh_topk_max_bucket_cap(spark, embeddings):
+    # Identical vectors share every table's bucket: a degenerate
+    # cluster.  With the cap below the cluster size, those index rows
+    # drop out of candidate generation entirely; with a generous cap
+    # the result is identical to the uncapped query.
+    dup = embeddings.limit(1).select(F.lit(0).alias("off"), "embedding") \
+        .crossJoin(spark.range(0, 50).select(F.col("id").alias("vec_id"))) \
+        .select("vec_id", "embedding")
+    queries = dup.limit(3).select(F.col("vec_id").alias("query_id"),
+                                  "embedding")
+    uncapped = similarity.lsh_topk(dup, queries, k=5,
+                                   n_planes=4, n_tables=2)
+    assert uncapped.count() > 0
+    capped = similarity.lsh_topk(dup, queries, k=5, n_planes=4,
+                                 n_tables=2, max_bucket=10)
+    assert capped.count() == 0  # every bucket holds all 50 clones
+    generous = similarity.lsh_topk(dup, queries, k=5, n_planes=4,
+                                   n_tables=2, max_bucket=1000)
+    assert sorted(map(tuple, generous.collect())) == \
+        sorted(map(tuple, uncapped.collect()))
+
+
 def test_lsh_vectorized_buckets_identical(spark, embeddings):
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
