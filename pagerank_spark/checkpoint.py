@@ -225,3 +225,97 @@ class CheckpointManager:
     def clear(self) -> None:
         self.ops.delete(self.root)
         self.ops.mkdirs(self.root)
+
+
+class TableCheckpointManager:
+    """Checkpointing on CATALOG TABLES through the IO layer — the
+    production shape the mandate names (per-iteration rank/label state
+    "checkpointed to Iceberg with per-partition lineage and metrics").
+
+    Same surface as :class:`CheckpointManager`, different storage:
+
+    - ``<prefix>_state``:  state rows + ``iteration`` + ``part_id``
+      lineage, PARTITIONED BY ``iteration`` — resume and per-iteration
+      re-reads prune to one partition; the Iceberg spec is declared
+      once at table creation (``partitionedBy(col("iteration"))``) and
+      appends inherit it from table metadata.
+    - ``<prefix>_metrics``: one row per checkpointed iteration
+      (iteration, l1, dangling_mass, ...).  Unlike the path-based
+      manager's driver-side JSON files, metrics rows here are table
+      appends — a Spark job per cadence hit, the price of a
+      transactional audit log readable by any engine on the catalog.
+
+    Works unchanged on either ``TableIO`` backend: with ``iceberg`` it
+    emits the writeTo/partitionedBy/append DDL sequence (pinned by
+    recorder-fake tests — the sandbox has no Iceberg jar); with
+    ``parquet`` the identical call sequence runs end-to-end for real,
+    which is how the resume loop is integration-tested here.
+    """
+
+    def __init__(self, spark: SparkSession, io, prefix: str = "pagerank",
+                 interval: int = 1):
+        self.spark = spark
+        self.io = io
+        self.prefix = prefix
+        self.interval = max(int(interval), 1)
+
+    @property
+    def _state(self) -> str:
+        return f"{self.prefix}_state"
+
+    @property
+    def _metrics(self) -> str:
+        return f"{self.prefix}_metrics"
+
+    def should_checkpoint(self, it: int) -> bool:
+        return it % self.interval == 0
+
+    def write_state(self, df: DataFrame, it: int,
+                    target_partitions: int | None = None) -> DataFrame:
+        out = df.withColumn("part_id", F.spark_partition_id()) \
+                .withColumn("iteration", F.lit(it))
+        if target_partitions is not None:
+            out = out.coalesce(max(int(target_partitions), 1))
+        if self.io.exists(self.spark, self._state):
+            self.io.append(out, self._state, partition_by=["iteration"])
+        else:
+            self.io.write(out, self._state, mode="overwrite",
+                          partition_by=["iteration"])
+        return self.read_state(it)
+
+    def read_state(self, it: int) -> DataFrame:
+        return (
+            self.io.read(self.spark, self._state)
+            .where(F.col("iteration") == it)
+            .drop("iteration", "part_id")
+        )
+
+    def committed_iterations(self) -> list[int]:
+        if not self.io.exists(self.spark, self._state):
+            return []
+        rows = (self.io.read(self.spark, self._state)
+                .select("iteration").distinct().collect())
+        return sorted(int(r["iteration"]) for r in rows)
+
+    def latest_iteration(self) -> int | None:
+        its = self.committed_iterations()
+        return its[-1] if its else None
+
+    def write_metrics(self, it: int, metrics: dict) -> None:
+        row = {"iteration": float(it),
+               **{k: float(v) for k, v in metrics.items()
+                  if isinstance(v, (int, float))}}
+        cols = sorted(row)
+        df = self.spark.createDataFrame(
+            [tuple(row[c] for c in cols)],
+            ", ".join(f"`{c}` DOUBLE" for c in cols))
+        self.io.append(df, self._metrics, partition_by=None)
+
+    def read_metric(self, it: int, key: str):
+        if not self.io.exists(self.spark, self._metrics):
+            return None
+        df = self.io.read(self.spark, self._metrics)
+        if key not in df.columns:
+            return None
+        row = df.where(F.col("iteration") == float(it)).select(key).first()
+        return None if row is None else row[key]

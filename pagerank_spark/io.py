@@ -84,14 +84,22 @@ class TableIO:
             w = w.partitionBy(*partition_by)
         w.parquet(self._path(name))
 
-    def append(self, df: DataFrame, name: str) -> None:
+    def append(self, df: DataFrame, name: str,
+               partition_by: list[str] | None = None) -> None:
+        """Append rows.  ``partition_by`` matters only on the parquet
+        branch (hive-style layout must be repeated per write); an
+        Iceberg table carries its partition spec in table metadata, so
+        appends never restate it."""
         if self.backend == "iceberg":
             try:
                 df.writeTo(f"{self.catalog}.{name}").append()
             except Exception:  # table may not exist yet
                 df.writeTo(f"{self.catalog}.{name}").create()
             return
-        df.write.mode("append").parquet(self._path(name))
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._path(name))
 
     def exists(self, spark: SparkSession, name: str) -> bool:
         if self.backend == "iceberg":

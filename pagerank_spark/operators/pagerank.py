@@ -63,6 +63,11 @@ from pagerank_spark import skew
 DAMPING = 0.85           # ref pagerank.hpp:14
 MAX_ITER = 100_000       # ref main.cpp:7
 BROADCAST_MAX_VERTICES = 5_000_000
+# auto-salting: a src whose out-degree exceeds this fraction of the
+# average per-partition edge share would, under the shuffle gather,
+# concentrate more than half an average partition's rows behind one
+# join key — a guaranteed straggler on a power-law graph.
+AUTO_SALT_PARTITION_FRACTION = 0.5
 
 
 @dataclass
@@ -118,6 +123,7 @@ def pagerank(
     num_salts: int = 8,
     resume: bool = False,
     static_planning: bool = True,
+    broadcast_max_vertices: int = BROADCAST_MAX_VERTICES,
 ) -> PageRankResult:
     """Run PageRank to convergence.
 
@@ -125,6 +131,14 @@ def pagerank(
       "l1"        — stop when L1 delta < ``tol`` (north-star rule).
       "reference" — the reference's own rule: L1 < 1e-5 OR plateau
                     |L1 - prev_L1| < 1e-7 (ref pagerank.cpp:229-236).
+
+    gather_mode="auto" picks the physical gather from the DATA:
+    broadcast while the rank table fits (``broadcast_max_vertices``),
+    otherwise shuffle — upgraded to salted when the out-degree
+    distribution shows hubs that would straggle the shuffled join
+    (degree > AUTO_SALT_PARTITION_FRACTION × |E|/partitions, one
+    constant-size aggregate over the persisted degree table).  An
+    explicit ``salt_threshold`` forces salted mode regardless.
 
     ``static_planning`` runs the loop with AQE suspended (see
     ``session.static_plan``): every iteration executes the identical
@@ -137,7 +151,7 @@ def pagerank(
         return _pagerank_loop(
             graph, damping, tol, max_iter, stop_rule, checkpoint,
             checkpoint_interval, gather_mode, salt_threshold, num_salts,
-            resume)
+            resume, broadcast_max_vertices)
 
 
 def _pagerank_loop(
@@ -152,6 +166,7 @@ def _pagerank_loop(
     salt_threshold: int | None,
     num_salts: int,
     resume: bool,
+    broadcast_max_vertices: int = BROADCAST_MAX_VERTICES,
 ) -> PageRankResult:
     spark = graph.spark
     n = graph.n
@@ -176,7 +191,14 @@ def _pagerank_loop(
             interval=checkpoint_interval)
 
     if gather_mode == "auto":
-        gather_mode = "broadcast" if n <= BROADCAST_MAX_VERTICES else "shuffle"
+        if salt_threshold is not None:
+            gather_mode = "salted"  # explicit threshold wins
+        elif n <= broadcast_max_vertices:
+            # Broadcast gather is skew-immune: edge rows never move,
+            # so a hub's out-edges stay spread across partitions.
+            gather_mode = "broadcast"
+        else:
+            gather_mode, salt_threshold = _auto_shuffle_or_salted(graph)
 
     # Mode-aware edge layout (one-time cost, amortized over O(100)
     # iterations).  The persisted graph is dst-partitioned — optimal for
@@ -221,6 +243,28 @@ def _pagerank_loop(
             gather_mode, resume, gather_edges, salted_ctx)
     finally:
         _release_gather_caches(gather_mode, gather_edges, salted_ctx)
+
+
+def _auto_shuffle_or_salted(graph: Graph) -> tuple[str, int | None]:
+    """Pick shuffle vs salted for the non-broadcast gather from the
+    out-degree distribution: one constant-size aggregate over the
+    persisted |V|-row degree table (same cost class as a per-iteration
+    scalar collect).  A hub src whose out-degree exceeds
+    AUTO_SALT_PARTITION_FRACTION of the average per-partition edge
+    share concentrates that many co-keyed rows in ONE task of the
+    shuffled join — the power-law straggler salting exists to kill.
+    Returns (mode, salt_threshold)."""
+    row = graph.out_deg.agg(
+        F.max("out_deg").alias("max_deg"),
+        F.sum("out_deg").alias("n_edges")).first()
+    if row is None or row["max_deg"] is None:
+        return "shuffle", None
+    parts = max(graph.edges.rdd.getNumPartitions(), 1)
+    hub_threshold = max(
+        int(AUTO_SALT_PARTITION_FRACTION * int(row["n_edges"]) / parts), 1)
+    if int(row["max_deg"]) > hub_threshold:
+        return "salted", hub_threshold
+    return "shuffle", None
 
 
 def _run_iterations(

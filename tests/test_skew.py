@@ -51,6 +51,45 @@ def test_salt_edges_covers_all_edges(spark, hub_graph):
     assert [r["salt"] for r in cold] == [0]
 
 
+def test_auto_mode_selects_salted_on_power_law(spark, hub_graph):
+    # The hub fixture's max out-degree dwarfs |E|/partitions: the auto
+    # decision must pick salted and derive a threshold below that hub.
+    from pagerank_spark.operators.pagerank import _auto_shuffle_or_salted
+
+    mode, thresh = _auto_shuffle_or_salted(hub_graph)
+    assert mode == "salted"
+    max_deg = hub_graph.out_deg.agg(F.max("out_deg")).first()[0]
+    assert thresh is not None and 0 < thresh < max_deg
+
+
+def test_auto_mode_selects_shuffle_on_uniform(spark):
+    # A near-regular graph (every src degree ~ |E|/|V|, far below the
+    # per-partition share) must NOT salt.
+    from pagerank_spark.operators.pagerank import _auto_shuffle_or_salted
+
+    edges = spark.range(0, 5000).select(
+        (F.col("id") % 500).alias("src"),
+        ((F.col("id") * 7 + 3) % 500).alias("dst"))
+    g = graph.prepare(edges)
+    mode, thresh = _auto_shuffle_or_salted(g)
+    assert mode == "shuffle" and thresh is None
+
+
+def test_pagerank_auto_salted_equals_broadcast(spark, hub_graph):
+    # Force the auto path off broadcast (broadcast_max_vertices=0):
+    # it must flip to salted on this power-law graph and produce the
+    # same iterates as the broadcast gather, bit-for-bit at 1e-12.
+    g = hub_graph
+    base = pagerank(g, max_iter=12, gather_mode="broadcast")
+    auto = pagerank(g, max_iter=12, broadcast_max_vertices=0)
+    assert base.iterations == auto.iterations
+    a = {r["id"]: r["pr"] for r in base.ranks.collect()}
+    b = {r["id"]: r["pr"] for r in auto.ranks.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12)
+
+
 def test_pagerank_salted_equals_unsalted(spark, hub_graph):
     # fixed 20-iteration horizon: equivalence of the salted plan is
     # exact at every iterate, so a full convergence run adds nothing.
