@@ -43,6 +43,7 @@ LSH_PLANES, LSH_TABLES, LSH_SEED = 4, 8, 42  # ann_lsh_topk params
 PAGERANK_ORACLE_ITERS = 180
 FRAME_EVERY_N = 10  # video_frames sampling stride, both engines
 EXACT_DUP_SAMPLE_IDS = 8  # bounded per-digest member sample, both engines
+REPO_BUCKETS = 40  # synthetic repo-files corpus: repos = doc_id % this
 
 # ------------------------------------------------------------------ helpers
 
@@ -362,6 +363,43 @@ def q_video_frames(spark, sf_dir):
         "frame_sha")
 
 
+def _repo_files(spark, sf_dir):
+    """The mandated (repo, path, commit, lang, content) input shape
+    (BASELINE.json input_hint), synthesized deterministically from the
+    documents table so both engines derive the identical corpus."""
+    from pagerank_spark import datagen
+
+    return datagen.repo_files_from_docs(
+        _docs(spark, sf_dir), n_repos=REPO_BUCKETS)
+
+
+def q_repo_file_shas(spark, sf_dir):
+    """The per-row invariant (BASELINE.json input_hint): content
+    sha256 carried through the extraction stage, JVM-side sha2."""
+    from pagerank_spark import extraction
+
+    return extraction.file_hashes(_repo_files(spark, sf_dir))
+
+
+def q_repo_module_owners(spark, sf_dir):
+    """module -> owning repo resolution map (file-stem modules, min
+    repo per module) — the broadcast side of the resolution join."""
+    from pagerank_spark import extraction
+
+    return extraction.module_ownership(_repo_files(spark, sf_dir))
+
+
+def q_repo_edges(spark, sf_dir):
+    """The full extraction stage (north star: src_repo -> dst_repo via
+    import references mined from ``content`` with an Arrow-vectorized
+    pandas_udf, resolved against the broadcast ownership map, deduped,
+    self-edges dropped).  The DuckDB oracle re-mines content with the
+    same regexes, cross-checking the vectorized extraction itself."""
+    from pagerank_spark import extraction
+
+    return extraction.derive_edges(_repo_files(spark, sf_dir))
+
+
 def q_events_sessions(spark, sf_dir):
     """Sessionize events per user with a 30-minute inactivity gap
     (gaps-and-islands via lag + cumulative sum — the batch face of
@@ -436,6 +474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "media_metadata": q_media_metadata,
         "video_frames": q_video_frames,
+        "repo_file_shas": q_repo_file_shas,
+        "repo_module_owners": q_repo_module_owners,
+        "repo_edges": q_repo_edges,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
     }
@@ -455,6 +496,35 @@ _SHINGLE_SQL = """
               FROM documents)
     )
 """
+
+# The DuckDB twin of datagen.repo_files_from_docs: same repo/path/
+# commit/content expressions, so file-level hashes and the mined edge
+# set are comparable value-for-value.
+_REPO_FILES_SQL = f"""
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    files AS (
+        SELECT 'org/repo' || (doc_id % {REPO_BUCKETS}) AS repo,
+               'src/m' || doc_id || '.py' AS path,
+               md5('c:' || doc_id) AS commit,
+               'python' AS lang,
+               'import m' || ((doc_id * 7 + 1) % (SELECT n_docs FROM n))
+                   || chr(10) || 'from m'
+                   || ((doc_id * 13 + 5) % (SELECT n_docs FROM n))
+                   || ' import thing' || chr(10) || '# '
+                   || replace(text, chr(10), ' ') AS content
+        FROM documents)
+"""
+
+# Same module-stem rule as extraction.module_ownership: last path
+# segment, extension stripped, min owner repo per module.
+_MODULE_OWNERS_SQL = r"""
+    owners AS (
+        SELECT regexp_extract(list_extract(string_split(path, '/'), -1),
+                              '^(.*?)(?:\.[^.]*)?$', 1) AS module,
+               min(repo) AS owner_repo
+        FROM files GROUP BY 1)
+"""
+
 
 def _pagerank_unrolled_sql(k: int) -> str:
     """Generate the k-step unrolled DuckDB PageRank chain.
@@ -933,6 +1003,33 @@ def oracle_sql() -> dict[str, str]:
                    sha256(substring(text, frame_no * step + 1, step))
                        AS frame_sha
             FROM f
+        """,
+        "repo_file_shas": f"""
+            WITH {_REPO_FILES_SQL}
+            SELECT repo, path, commit, sha256(content) AS content_sha
+            FROM files
+        """,
+        "repo_module_owners": f"""
+            WITH {_REPO_FILES_SQL}, {_MODULE_OWNERS_SQL}
+            SELECT module, owner_repo FROM owners
+        """,
+        "repo_edges": f"""
+            -- re-mines content with the engine's extraction regexes
+            -- ((?m) = the pandas_udf's re.MULTILINE), so the oracle
+            -- checks the Arrow-vectorized extraction itself, not just
+            -- the stride arithmetic that seeded the corpus.
+            WITH {_REPO_FILES_SQL}, {_MODULE_OWNERS_SQL},
+            refs AS (
+                SELECT repo, unnest(
+                    regexp_extract_all(content,
+                        '(?m)^\\s*import\\s+([A-Za-z_][\\w.]*)', 1)
+                    || regexp_extract_all(content,
+                        '(?m)^\\s*from\\s+([A-Za-z_][\\w.]*)\\s+import\\b', 1)
+                ) AS module
+                FROM files)
+            SELECT DISTINCT r.repo AS src_repo, o.owner_repo AS dst_repo
+            FROM refs r JOIN owners o USING (module)
+            WHERE r.repo <> o.owner_repo
         """,
         "events_hourly": f"""
             SELECT strftime(date_trunc('hour', ts),

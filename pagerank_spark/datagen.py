@@ -112,6 +112,82 @@ def repo_files_corpus(
     return files_df, truth_df
 
 
+def repo_files_from_docs(docs: DataFrame, n_repos: int = 40) -> DataFrame:
+    """Oracle-portable repo-files synthesis: derive the mandated
+    ``(repo, path, commit, lang, content)`` table (BASELINE.json
+    input_hint) deterministically from a ``documents(doc_id, text)``
+    table using only expressions with exact DuckDB equivalents, so
+    driver queries over this corpus are value-hash-checked end to end
+    (unlike ``repo_files_corpus``, whose driver-side ``random`` stream
+    has no SQL twin).
+
+    Document ``d`` becomes one python file owning module ``m<d>`` in
+    repo ``org/repo<d % n_repos>``; its content imports modules
+    ``m<(7d+1) % N>`` and ``m<(13d+5) % N>`` (two co-prime strides →
+    a connected, skewless reference graph) followed by the document
+    text as a comment line — so ``content_sha`` depends on the full
+    text, and the extraction regexes see exactly two module tokens.
+    """
+    n = docs.select(F.count(F.lit(1)).alias("_n_docs"))
+    did = F.col("doc_id").cast("bigint")
+    a = ((did * 7 + 1) % F.col("_n_docs")).cast("string")
+    b = ((did * 13 + 5) % F.col("_n_docs")).cast("string")
+    content = F.concat(
+        F.lit("import m"), a, F.lit("\n"),
+        F.lit("from m"), b, F.lit(" import thing\n# "),
+        F.replace(F.col("text"), F.lit("\n"), F.lit(" ")))
+    return docs.crossJoin(F.broadcast(n)).select(
+        F.concat(F.lit("org/repo"),
+                 (did % n_repos).cast("string")).alias("repo"),
+        F.concat(F.lit("src/m"), did.cast("string"),
+                 F.lit(".py")).alias("path"),
+        F.md5(F.concat(F.lit("c:"), did.cast("string"))).alias("commit"),
+        F.lit("python").alias("lang"),
+        content.alias("content"),
+    )
+
+
+def documents_corpus(
+    spark: SparkSession,
+    n_docs: int,
+    tokens_per_doc: int = 60,
+    vocab: int = 50_000,
+    dup_stride: int = 100,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Seeded ``documents(doc_id, text)`` corpus built DISTRIBUTED
+    (column expressions over ``spark.range`` — any size without the
+    driver in the data path), shaped to stress the dedup family's
+    scale guards:
+
+    - every doc opens with the same three tokens, so ONE ubiquitous
+      shingle appears in all N docs — an uncapped shingle self-join
+      would go O(N²); the ``max_df`` cap must bind;
+    - every ``dup_stride``-th doc is byte-identical boilerplate — one
+      degenerate exact-dup group AND one degenerate MinHash/LSH bucket
+      of N/dup_stride members; the ``max_bucket`` cap must bind;
+    - remaining tokens are per-doc xxhash64 draws from ``vocab``, so
+      non-degenerate shingles stay near-unique (realistic long tail).
+    """
+    ids = spark.range(0, n_docs, numPartitions=partitions)
+    toks = [
+        F.concat(
+            F.lit("w"),
+            (F.abs(F.xxhash64("id", F.lit(seed), F.lit(i)))
+             % F.lit(vocab)).cast("string"))
+        for i in range(tokens_per_doc)
+    ]
+    body = F.concat_ws(" ", F.lit("the quick brown"), *toks)
+    boiler = F.lit(
+        "the quick brown " + " ".join(f"b{i}" for i in range(tokens_per_doc)))
+    return ids.select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % dup_stride == 0, boiler)
+        .otherwise(body).alias("text"),
+    )
+
+
 def power_law_graph(
     spark: SparkSession,
     n_vertices: int,

@@ -37,9 +37,10 @@ def test_entry_smoke(spark):
 def test_oracle_keys_subset_of_queries():
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(os_) <= set(qs)
-    # every query is either oracle-checked or deliberately rows-only
+    # every query is oracle-checked (pagerank_converged gained a
+    # generated unrolled-CTE oracle, so the rows-only set is empty)
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"pagerank_converged"}
+    assert rows_only == set()
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql()))
