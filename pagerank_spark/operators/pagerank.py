@@ -68,6 +68,9 @@ BROADCAST_MAX_VERTICES = 5_000_000
 # concentrate more than half an average partition's rows behind one
 # join key — a guaranteed straggler on a power-law graph.
 AUTO_SALT_PARTITION_FRACTION = 0.5
+# loop-scoped shuffle width: enough partitions that no per-iteration
+# exchange task holds more than this many |V|-side rows.
+STATE_ROWS_PER_PARTITION = 500_000
 
 
 @dataclass
@@ -233,14 +236,27 @@ def _pagerank_loop(
             graph.edges.rdd.getNumPartitions(), "src").persist()
         gather_edges.count()
 
+    # Per-iteration exchanges (the |V|-row state join + the scalar
+    # aggregate) are sized to the LOOP's tables, not the session's
+    # worst case: the edge table is already data-sized by
+    # graph.prepare, and the state side needs at most
+    # ceil(n / STATE_ROWS_PER_PARTITION) useful tasks.  At web scale
+    # the session width is smaller than either bound and sized_shuffle
+    # is a no-op (see session.sized_shuffle for the measurements).
+    loop_width = max(gather_edges.rdd.getNumPartitions(),
+                     n // STATE_ROWS_PER_PARTITION + 1)
+
     # Everything from here runs under try/finally: the |E|-sized
     # loop-scoped caches must be released on EVERY exit path —
     # including job failures and interrupts mid-loop — or retries
     # accumulate edge-table copies in executor storage.
+    from pagerank_spark.session import sized_shuffle
+
     try:
-        return _run_iterations(
-            graph, spark, n, damping, tol, max_iter, stop_rule, checkpoint,
-            gather_mode, resume, gather_edges, salted_ctx)
+        with sized_shuffle(spark, loop_width):
+            return _run_iterations(
+                graph, spark, n, damping, tol, max_iter, stop_rule,
+                checkpoint, gather_mode, resume, gather_edges, salted_ctx)
     finally:
         _release_gather_caches(gather_mode, gather_edges, salted_ctx)
 

@@ -57,6 +57,37 @@ def static_plan(spark: SparkSession, enabled: bool = True):
         spark.conf.set(key, prev)
 
 
+@contextmanager
+def sized_shuffle(spark: SparkSession, partitions: int | None):
+    """Temporarily size ``spark.sql.shuffle.partitions`` to the DATA
+    a loop is about to move, restoring the session value on exit.
+
+    An iterative loop's per-iteration exchanges move the |V|-row state
+    table, not the session's worst-case workload: on a small-to-medium
+    graph the session-wide width (cores-sized, or thousands on a real
+    cluster) schedules mostly-empty tasks every iteration, and task
+    launch overhead — not compute — dominates (measured at sf0.1,
+    587k edges / 15k vertices on 32 cores: width 32 = 226 ms/iter,
+    width 8 = 175 ms/iter, identical results).  Callers pass the width
+    they sized for the loop's tables (e.g. the persisted edge
+    partition count); values >= the session setting are a no-op, so at
+    web scale — where the operator-tuned session width is the right
+    answer — this context changes nothing.
+
+    Same session-global caveat as :func:`static_plan`.
+    """
+    key = "spark.sql.shuffle.partitions"
+    prev = int(spark.conf.get(key))
+    if partitions is None or partitions >= prev:
+        yield
+        return
+    spark.conf.set(key, str(partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, str(prev))
+
+
 def get_spark(
     app_name: str = "pagerank_spark",
     master: str | None = None,

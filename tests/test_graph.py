@@ -92,3 +92,25 @@ def test_encode_dense_ids_deterministic(spark):
     assert d == {"r/a": 0, "r/b": 1, "r/c": 2}  # sorted row_number()-1
     edges = {(r["src"], r["dst"]) for r in enc.collect()}
     assert edges == {(1, 0), (2, 1), (0, 2)}
+
+
+def test_sized_shuffle_scopes_and_restores(spark):
+    from pagerank_spark.session import sized_shuffle
+
+    key = "spark.sql.shuffle.partitions"
+    base = spark.conf.get(key)
+    with sized_shuffle(spark, 2):
+        assert spark.conf.get(key) == "2"
+    assert spark.conf.get(key) == base
+    # >= the session width (and None) are no-ops:
+    with sized_shuffle(spark, int(base) + 100):
+        assert spark.conf.get(key) == base
+    with sized_shuffle(spark, None):
+        assert spark.conf.get(key) == base
+    # restored even when the loop body raises:
+    try:
+        with sized_shuffle(spark, 2):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == base
