@@ -3,9 +3,10 @@
 ``entry`` runs the flagship PageRank flow on sf0.001.  ``queries``
 exposes every implemented operator from SURVEY.md §2 (plus the
 mandated training-data pipeline operators) over the driver's testdata
-tables; ``oracle_sql`` gives the DuckDB-equivalent ANSI SQL for every
-query whose math is engine-portable.  Iterative-to-convergence and
-Spark-specific-hash operators are rows-only by design (noted inline).
+tables; ``oracle_sql`` gives the DuckDB-equivalent ANSI SQL for EVERY
+query — iterative-to-convergence PageRank included (a generated
+unrolled-CTE oracle, see ``PAGERANK_ORACLE_ITERS``), and every hash
+family used is portable (md5-derived) so DuckDB reproduces it.
 
 The graph for the graph-operator queries is derived deterministically
 from the TPC-H-ish tables: edges = distinct (l_suppkey -> o_custkey)
