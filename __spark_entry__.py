@@ -43,6 +43,8 @@ LSH_PLANES, LSH_TABLES, LSH_SEED = 4, 8, 42  # ann_lsh_topk params
 # coincide.
 PAGERANK_ORACLE_ITERS = 180
 FRAME_EVERY_N = 10  # video_frames sampling stride, both engines
+BFS_SOURCE, BFS_MAX_DEPTH = 1, 50  # bfs_depths source + hop cap, both engines
+PPR_SOURCE = 1  # ppr_k3 personalization source, both engines
 EXACT_DUP_SAMPLE_IDS = 8  # bounded per-digest member sample, both engines
 REPO_BUCKETS = 40  # synthetic repo-files corpus: repos = doc_id % this
 
@@ -178,6 +180,17 @@ def q_pagerank_converged(spark, sf_dir):
     return res.ranks.select("id", F.round("pr", ROUND).alias("pr"))
 
 
+def q_ppr_k3(spark, sf_dir):
+    """Three steps of personalized PageRank restarted at PPR_SOURCE
+    (restart weight 1 on the single source).  The oracle unrolls the
+    same affine chain with CASE-expression restart columns."""
+    from pagerank_spark.operators.ppr import personalized_pagerank
+
+    g = _graph(spark, sf_dir)
+    res = personalized_pagerank(g, [PPR_SOURCE], max_iter=3)
+    return res.ranks.select("id", F.round("pr", 9).alias("pr"))
+
+
 def q_connected_components(spark, sf_dir):
     from pagerank_spark.operators import connected_components
 
@@ -192,6 +205,17 @@ def q_components_domain(spark, sf_dir):
 
     e = _edges(spark, sf_dir)
     return components_with_domain(e, G.num_vertices(e))
+
+
+def q_bfs_depths(spark, sf_dir):
+    """Minimum hop distance from BFS_SOURCE over the symmetrized edge
+    set — the traversal face of the link-graph suite.  The DuckDB
+    oracle walks the same frontier with a depth-capped recursive CTE
+    and takes min(depth) per vertex."""
+    from pagerank_spark.operators.bfs import bfs_depths
+
+    return bfs_depths(_edges(spark, sf_dir), [BFS_SOURCE],
+                      max_depth=BFS_MAX_DEPTH)
 
 
 def q_triangles_per_vertex(spark, sf_dir):
@@ -455,7 +479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top5_out_degree": q_top5_out_degree,
         "pagerank_k3": q_pagerank_k3,
         "pagerank_converged": q_pagerank_converged,
+        "ppr_k3": q_ppr_k3,
         "connected_components": q_connected_components,
+        "bfs_depths": q_bfs_depths,
         "components_domain": q_components_domain,
         "label_propagation_k2": q_label_propagation_k2,
         "triangle_count": q_triangle_count,
@@ -658,6 +684,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, round(pr, 9) AS pr FROM p3
         """,
         "pagerank_converged": _pagerank_unrolled_sql(PAGERANK_ORACLE_ITERS),
+        "ppr_k3": f"""
+            WITH edges AS ({_EDGE_SQL}),
+            n AS (SELECT (max(greatest(src, dst)) + 1)::BIGINT AS n FROM edges),
+            outd AS (SELECT src AS id, count(*)::DOUBLE AS od
+                     FROM edges GROUP BY src),
+            verts AS (SELECT unnest(generate_series(0,
+                          (SELECT n - 1 FROM n)))::BIGINT AS id),
+            -- step 1 from the zero vector: gather 0, dangling 0, so
+            -- p1 = 0.15 * restart (restart = 1 on the single source).
+            p1 AS (SELECT id,
+                          CASE WHEN id = {PPR_SOURCE} THEN 0.15 ELSE 0 END
+                              AS pr FROM verts),
+            d2 AS (SELECT coalesce(sum(p.pr), 0) AS d FROM p1 p
+                   LEFT JOIN outd o ON p.id = o.id WHERE o.id IS NULL),
+            g2 AS (SELECT e.dst AS id, sum(p.pr / o.od) AS c
+                   FROM edges e JOIN p1 p ON e.src = p.id
+                   JOIN outd o ON e.src = o.id GROUP BY e.dst),
+            p2 AS (SELECT v.id,
+                          (coalesce(g.c, 0) + (SELECT d FROM d2)
+                               * CASE WHEN v.id = {PPR_SOURCE} THEN 1 ELSE 0 END)
+                              * 0.85
+                          + 0.15 * CASE WHEN v.id = {PPR_SOURCE} THEN 1 ELSE 0 END
+                              AS pr
+                   FROM verts v LEFT JOIN g2 g ON v.id = g.id),
+            d3 AS (SELECT coalesce(sum(p.pr), 0) AS d FROM p2 p
+                   LEFT JOIN outd o ON p.id = o.id WHERE o.id IS NULL),
+            g3 AS (SELECT e.dst AS id, sum(p.pr / o.od) AS c
+                   FROM edges e JOIN p2 p ON e.src = p.id
+                   JOIN outd o ON e.src = o.id GROUP BY e.dst),
+            p3 AS (SELECT v.id,
+                          (coalesce(g.c, 0) + (SELECT d FROM d3)
+                               * CASE WHEN v.id = {PPR_SOURCE} THEN 1 ELSE 0 END)
+                              * 0.85
+                          + 0.15 * CASE WHEN v.id = {PPR_SOURCE} THEN 1 ELSE 0 END
+                              AS pr
+                   FROM verts v LEFT JOIN g3 g ON v.id = g.id)
+            SELECT id, round(pr, 9) AS pr FROM p3
+        """,
+        "bfs_depths": f"""
+            WITH RECURSIVE edges AS ({_EDGE_SQL}),
+            sym AS (SELECT src, dst FROM edges WHERE src <> dst
+                    UNION
+                    SELECT dst, src FROM edges WHERE src <> dst),
+            -- UNION-dedup on (id, d) pairs; d strictly increases and
+            -- is capped, so cycles terminate with <= |V| * cap rows.
+            r(id, d) AS (
+                SELECT CAST({BFS_SOURCE} AS BIGINT), 0
+                UNION
+                SELECT s.dst, r.d + 1
+                FROM r JOIN sym s ON s.src = r.id
+                WHERE r.d < {BFS_MAX_DEPTH}
+            )
+            SELECT id, CAST(min(d) AS INT) AS depth FROM r GROUP BY id
+        """,
         "connected_components": f"""
             WITH RECURSIVE edges AS ({_EDGE_SQL}),
             sym AS (SELECT src, dst FROM edges WHERE src <> dst

@@ -123,3 +123,44 @@ def label_propagation_oracle(edges: list[tuple[int, int]], max_iter: int = 20):
 
 
 F2_EDGES = [(0, 1), (0, 2), (0, 1), (1, 2), (2, 0), (2, 4), (3, 2)]
+
+
+def ppr_oracle(
+    edges: list[tuple[int, int]],
+    sources: list[int],
+    damping: float = 0.85,
+    tol: float = 1e-10,
+    max_iter: int = 100_000,
+):
+    """NumPy personalized-PageRank oracle (zero init, dangling mass
+    re-injected through the restart distribution).  Returns
+    (converged x_k, iterations, final_l1)."""
+    uniq = sorted(set(edges))
+    n = max(max(s, d) for s, d in uniq) + 1 if uniq else 0
+    out = np.zeros(n, dtype=np.int64)
+    for s, _ in uniq:
+        out[s] += 1
+    in_nbrs: list[list[int]] = [[] for _ in range(n)]
+    for s, d in uniq:
+        in_nbrs[d].append(s)
+    restart = np.zeros(n)
+    for s in set(sources):
+        restart[s] = 1.0 / len(set(sources))
+
+    pr = np.zeros(n)
+    it = 0
+    final_l1 = 0.0
+    while it < max_iter:
+        it += 1
+        dangling = float(pr[out == 0].sum())
+        new_pr = np.zeros(n)
+        for v in range(n):
+            tmp = sum(pr[u] / out[u] for u in in_nbrs[v])
+            new_pr[v] = (tmp + dangling * restart[v]) * damping \
+                + (1 - damping) * restart[v]
+        l1 = float(np.abs(new_pr - pr).sum())
+        final_l1 = l1
+        pr = new_pr
+        if l1 < tol:
+            break
+    return pr, it, final_l1

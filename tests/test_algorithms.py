@@ -154,3 +154,75 @@ def test_lpa_resume(spark, tmp_path):
                for r in label_propagation(df, checkpoint=ck,
                                           resume=True).collect()}
     assert resumed == full
+
+
+# ------------------------------------------------------------------ BFS
+
+def _bfs_oracle(edges, sources, directed=False, max_depth=50):
+    from collections import deque
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        if not directed:
+            adj.setdefault(b, set()).add(a)
+    depth = {s: 0 for s in sources}
+    q = deque(sources)
+    while q:
+        u = q.popleft()
+        if depth[u] >= max_depth:
+            continue
+        for v in adj.get(u, ()):
+            if v not in depth:
+                depth[v] = depth[u] + 1
+                q.append(v)
+    return depth
+
+
+def test_bfs_line_graph(spark):
+    from pagerank_spark.operators.bfs import bfs_depths
+
+    df = edges_df(spark, [(0, 1), (1, 2), (2, 3)])
+    got = {r["id"]: r["depth"] for r in bfs_depths(df, [0]).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_unreachable_absent_and_directed(spark):
+    from pagerank_spark.operators.bfs import bfs_depths
+
+    edges = [(0, 1), (1, 2), (5, 6), (3, 0)]
+    df = edges_df(spark, edges)
+    und = {r["id"]: r["depth"] for r in bfs_depths(df, [0]).collect()}
+    assert und == {0: 0, 1: 1, 3: 1, 2: 2}  # 5,6 unreachable
+    fwd = {r["id"]: r["depth"]
+           for r in bfs_depths(df, [0], directed=True).collect()}
+    assert fwd == {0: 0, 1: 1, 2: 2}  # 3→0 not followed forward
+
+
+def test_bfs_multi_source_and_max_depth(spark):
+    from pagerank_spark.operators.bfs import bfs_depths
+
+    df = edges_df(spark, [(i, i + 1) for i in range(10)])
+    got = {r["id"]: r["depth"] for r in bfs_depths(df, [0, 10]).collect()}
+    assert got[5] == 5 and got[7] == 3 and got[10] == 0
+    capped = {r["id"]: r["depth"]
+              for r in bfs_depths(df, [0], max_depth=3).collect()}
+    assert capped == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_random_graph_matches_oracle(spark):
+    import random
+
+    from pagerank_spark.operators.bfs import bfs_depths
+
+    rng = random.Random(11)
+    edges = list({(rng.randrange(60), rng.randrange(60)) for _ in range(150)})
+    got = {r["id"]: r["depth"]
+           for r in bfs_depths(edges_df(spark, edges), [0, 7]).collect()}
+    assert got == _bfs_oracle(edges, [0, 7])
+    fwd = {r["id"]: r["depth"]
+           for r in bfs_depths(edges_df(spark, edges), [0, 7],
+                               directed=True).collect()}
+    assert fwd == _bfs_oracle(edges, [0, 7], directed=True)

@@ -209,3 +209,51 @@ def test_checkpoint_carries_partition_lineage(spark, tmp_path):
     assert raw.where("part_id is null").count() == 0
     m = ck.read_metrics().where("iteration = 3").first()
     assert m["num_partitions"] >= 1
+
+
+# ---------------------------------------------------- personalized PageRank
+
+def test_ppr_matches_numpy_oracle(spark):
+    import random
+
+    from oracles import ppr_oracle
+    from pagerank_spark.operators.ppr import personalized_pagerank
+
+    rng = random.Random(5)
+    edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(120)})
+    g = graph.prepare(edges_df(spark, edges))
+    res = personalized_pagerank(g, [0, 7], tol=1e-10)
+    want, want_it, _ = ppr_oracle(edges, [0, 7], tol=1e-10)
+    got = _ranks_dict(res.ranks)
+    assert res.iterations == want_it
+    assert np.allclose([got[i] for i in range(g.n)], want, atol=1e-9)
+    # mass conservation: dangling re-injection through the restart
+    # distribution keeps the walk normalized at convergence.
+    assert abs(sum(got.values()) - 1.0) < 1e-8
+
+
+def test_ppr_localizes_mass(spark):
+    # two disjoint cliques: personalizing on one leaves ~zero rank on
+    # the other (only via its own restart, which is 0).
+    from pagerank_spark.operators.ppr import personalized_pagerank
+
+    clique = lambda ids: [(a, b) for a in ids for b in ids if a != b]  # noqa: E731
+    edges = clique(range(5)) + clique(range(10, 15))
+    g = graph.prepare(edges_df(spark, edges))
+    got = _ranks_dict(personalized_pagerank(g, [0], tol=1e-12).ranks)
+    assert sum(got[i] for i in range(10, 15)) < 1e-12
+    assert abs(sum(got[i] for i in range(5)) - 1.0) < 1e-8
+
+
+def test_ppr_uniform_sources_equals_global(spark):
+    # restart uniform over the FULL domain == global PageRank (the
+    # global operator is the |S| = N special case).
+    from pagerank_spark.operators.ppr import personalized_pagerank
+
+    g = graph.prepare(edges_df(spark, F2_EDGES))
+    res_g = pagerank(g, tol=1e-12)
+    res_p = personalized_pagerank(g, list(range(g.n)), tol=1e-12)
+    gg = _ranks_dict(res_g.converged_ranks)
+    pp = _ranks_dict(res_p.ranks)
+    assert np.allclose([gg[i] for i in range(g.n)],
+                       [pp[i] for i in range(g.n)], atol=1e-9)
