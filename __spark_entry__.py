@@ -180,6 +180,24 @@ def q_pagerank_converged(spark, sf_dir):
     return res.ranks.select("id", F.round("pr", ROUND).alias("pr"))
 
 
+def q_pagerank_weighted_k3(spark, sf_dir):
+    """Three steps of weighted PageRank where the weight is the edge
+    MULTIPLICITY of the lineitem ⋈ orders projection (the information
+    the unweighted graph's dedupe throws away)."""
+    from pagerank_spark.operators.weighted import weighted_pagerank
+
+    li = _read(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ew = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("l_suppkey").alias("src"),
+                 F.col("o_custkey").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    ranks = weighted_pagerank(ew, max_iter=3)
+    return ranks.select("id", F.round("pr", 9).alias("pr"))
+
+
 def q_ppr_k3(spark, sf_dir):
     """Three steps of personalized PageRank restarted at PPR_SOURCE
     (restart weight 1 on the single source).  The oracle unrolls the
@@ -480,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_k3": q_pagerank_k3,
         "pagerank_converged": q_pagerank_converged,
         "ppr_k3": q_ppr_k3,
+        "pagerank_weighted_k3": q_pagerank_weighted_k3,
         "connected_components": q_connected_components,
         "bfs_depths": q_bfs_depths,
         "components_domain": q_components_domain,
@@ -684,6 +703,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, round(pr, 9) AS pr FROM p3
         """,
         "pagerank_converged": _pagerank_unrolled_sql(PAGERANK_ORACLE_ITERS),
+        "pagerank_weighted_k3": f"""
+            WITH wedges AS (
+                SELECT l.l_suppkey AS src, o.o_custkey AS dst,
+                       count(*)::DOUBLE AS w
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                GROUP BY 1, 2),
+            n AS (SELECT (max(greatest(src, dst)) + 1)::DOUBLE AS n
+                  FROM wedges),
+            st AS (SELECT src AS id, sum(w) AS strength
+                   FROM wedges GROUP BY src),
+            verts AS (SELECT unnest(generate_series(0,
+                          (SELECT n::BIGINT - 1 FROM n)))::BIGINT AS id),
+            p1 AS (SELECT id, 0.15 / (SELECT n FROM n) AS pr FROM verts),
+            d2 AS (SELECT coalesce(sum(p.pr), 0) AS d FROM p1 p
+                   LEFT JOIN st s ON p.id = s.id WHERE s.id IS NULL),
+            g2 AS (SELECT e.dst AS id, sum(p.pr * e.w / s.strength) AS c
+                   FROM wedges e JOIN p1 p ON e.src = p.id
+                   JOIN st s ON e.src = s.id GROUP BY e.dst),
+            p2 AS (SELECT v.id,
+                          (coalesce(g.c, 0) + (SELECT d FROM d2) / (SELECT n FROM n))
+                              * 0.85 + 0.15 / (SELECT n FROM n) AS pr
+                   FROM verts v LEFT JOIN g2 g ON v.id = g.id),
+            d3 AS (SELECT coalesce(sum(p.pr), 0) AS d FROM p2 p
+                   LEFT JOIN st s ON p.id = s.id WHERE s.id IS NULL),
+            g3 AS (SELECT e.dst AS id, sum(p.pr * e.w / s.strength) AS c
+                   FROM wedges e JOIN p2 p ON e.src = p.id
+                   JOIN st s ON e.src = s.id GROUP BY e.dst),
+            p3 AS (SELECT v.id,
+                          (coalesce(g.c, 0) + (SELECT d FROM d3) / (SELECT n FROM n))
+                              * 0.85 + 0.15 / (SELECT n FROM n) AS pr
+                   FROM verts v LEFT JOIN g3 g ON v.id = g.id)
+            SELECT id, round(pr, 9) AS pr FROM p3
+        """,
         "ppr_k3": f"""
             WITH edges AS ({_EDGE_SQL}),
             n AS (SELECT (max(greatest(src, dst)) + 1)::BIGINT AS n FROM edges),

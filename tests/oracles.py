@@ -164,3 +164,41 @@ def ppr_oracle(
         if l1 < tol:
             break
     return pr, it, final_l1
+
+
+def weighted_pagerank_oracle(
+    edges_w: list[tuple[int, int, float]],
+    damping: float = 0.85,
+    tol: float = 1e-10,
+    max_iter: int = 100_000,
+):
+    """NumPy weighted-PageRank oracle (zero init, uniform dangling
+    redistribution, proportional split).  Parallel edges sum their
+    weights.  Returns (converged x_k, iterations, final_l1)."""
+    acc: dict[tuple[int, int], float] = {}
+    for s, d, w in edges_w:
+        acc[(s, d)] = acc.get((s, d), 0.0) + w
+    n = max(max(s, d) for s, d in acc) + 1 if acc else 0
+    strength = np.zeros(n)
+    for (s, _), w in acc.items():
+        strength[s] += w
+    in_nbrs: list[list[tuple[int, float]]] = [[] for _ in range(n)]
+    for (s, d), w in acc.items():
+        in_nbrs[d].append((s, w))
+
+    pr = np.zeros(n)
+    it = 0
+    final_l1 = 0.0
+    while it < max_iter:
+        it += 1
+        dangling = float(pr[strength == 0].sum())
+        new_pr = np.zeros(n)
+        for v in range(n):
+            tmp = sum(pr[u] * w / strength[u] for u, w in in_nbrs[v])
+            new_pr[v] = (tmp + dangling / n) * damping + (1 - damping) / n
+        l1 = float(np.abs(new_pr - pr).sum())
+        final_l1 = l1
+        pr = new_pr
+        if l1 < tol:
+            break
+    return pr, it, final_l1

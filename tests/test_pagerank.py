@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from conftest import edges_df
 from oracles import F2_EDGES, pagerank_oracle
@@ -257,3 +258,50 @@ def test_ppr_uniform_sources_equals_global(spark):
     pp = _ranks_dict(res_p.ranks)
     assert np.allclose([gg[i] for i in range(g.n)],
                        [pp[i] for i in range(g.n)], atol=1e-9)
+
+
+# ------------------------------------------------------- weighted PageRank
+
+def test_weighted_matches_numpy_oracle(spark):
+    import random
+
+    from oracles import weighted_pagerank_oracle
+    from pagerank_spark.operators.weighted import weighted_pagerank
+
+    rng = random.Random(9)
+    edges = [(rng.randrange(30), rng.randrange(30), float(rng.randrange(1, 6)))
+             for _ in range(90)]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT, weight DOUBLE")
+    got = _ranks_dict(weighted_pagerank(df, tol=1e-10))
+    want, _, _ = weighted_pagerank_oracle(edges, tol=1e-10)
+    assert np.allclose([got[i] for i in range(len(want))], want, atol=1e-9)
+
+
+def test_weighted_uniform_equals_unweighted(spark):
+    # weight 1 on every unique edge == the global operator exactly
+    # (same zero init / dangling / stop, proportional split is 1/deg).
+    from pagerank_spark.operators.weighted import weighted_pagerank
+
+    df = edges_df(spark, F2_EDGES).withColumn("weight", F.lit(1.0))
+    got = _ranks_dict(weighted_pagerank(df.dropDuplicates(["src", "dst"]),
+                                        tol=1e-12))
+    g = graph.prepare(edges_df(spark, F2_EDGES))
+    want = _ranks_dict(pagerank(g, tol=1e-12).converged_ranks)
+    assert np.allclose([got[i] for i in range(g.n)],
+                       [want[i] for i in range(g.n)], atol=1e-12)
+
+
+def test_weighted_parallel_edges_sum(spark):
+    # duplicate (src, dst) rows combine by SUMMING weights (the
+    # weighted analogue of the dedupe contract).
+    from pagerank_spark.operators.weighted import weighted_pagerank
+
+    dup = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 1, 2.0), (0, 2, 3.0), (1, 2, 1.0), (2, 0, 1.0)],
+        "src BIGINT, dst BIGINT, weight DOUBLE")
+    one = spark.createDataFrame(
+        [(0, 1, 3.0), (0, 2, 3.0), (1, 2, 1.0), (2, 0, 1.0)],
+        "src BIGINT, dst BIGINT, weight DOUBLE")
+    a = _ranks_dict(weighted_pagerank(dup, tol=1e-12))
+    b = _ranks_dict(weighted_pagerank(one, tol=1e-12))
+    assert a == b
