@@ -443,6 +443,18 @@ def q_repo_edges(spark, sf_dir):
     return extraction.derive_edges(_repo_files(spark, sf_dir))
 
 
+def q_repo_vertex_ids(spark, sf_dir):
+    """The mandated deterministic dictionary encode (repo name → dense
+    BIGINT id) over the extraction stage's edge set.  The engine's
+    two-level no-global-window encode must reproduce the oracle's
+    plain ``row_number() OVER (ORDER BY name) - 1`` bit-for-bit."""
+    from pagerank_spark import extraction, graph as G
+
+    edges = extraction.derive_edges(_repo_files(spark, sf_dir))
+    _, dictionary = G.encode_dense_ids(edges)
+    return dictionary.select("name", F.col("id").cast("bigint").alias("id"))
+
+
 def q_events_sessions(spark, sf_dir):
     """Sessionize events per user with a 30-minute inactivity gap
     (gaps-and-islands via lag + cumulative sum — the batch face of
@@ -523,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_file_shas": q_repo_file_shas,
         "repo_module_owners": q_repo_module_owners,
         "repo_edges": q_repo_edges,
+        "repo_vertex_ids": q_repo_vertex_ids,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
     }
@@ -1163,6 +1176,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT r.repo AS src_repo, o.owner_repo AS dst_repo
             FROM refs r JOIN owners o USING (module)
             WHERE r.repo <> o.owner_repo
+        """,
+        "repo_vertex_ids": f"""
+            WITH {_REPO_FILES_SQL}, {_MODULE_OWNERS_SQL},
+            refs AS (
+                SELECT repo, unnest(
+                    regexp_extract_all(content,
+                        '(?m)^\\s*import\\s+([A-Za-z_][\\w.]*)', 1)
+                    || regexp_extract_all(content,
+                        '(?m)^\\s*from\\s+([A-Za-z_][\\w.]*)\\s+import\\b', 1)
+                ) AS module
+                FROM files),
+            e AS (
+                SELECT DISTINCT r.repo AS src_repo, o.owner_repo AS dst_repo
+                FROM refs r JOIN owners o USING (module)
+                WHERE r.repo <> o.owner_repo),
+            names AS (SELECT src_repo AS name FROM e
+                      UNION SELECT dst_repo FROM e)
+            SELECT name, row_number() OVER (ORDER BY name) - 1 AS id
+            FROM names
         """,
         "events_hourly": f"""
             SELECT strftime(date_trunc('hour', ts),

@@ -82,12 +82,24 @@ def personalized_pagerank(
             interval=checkpoint_interval)
 
     gather_mode = "broadcast" if n <= BROADCAST_MAX_VERTICES else "shuffle"
-    loop_width = max(graph.edges.rdd.getNumPartitions(),
+    # Shuffle mode re-lays the edge table by the join key ONCE (same
+    # rationale as the global operator: with the shared dst layout the
+    # whole |E| side would re-exchange every iteration).
+    gather_edges = graph.edges
+    if gather_mode == "shuffle":
+        gather_edges = graph.edges.repartition(
+            graph.edges.rdd.getNumPartitions(), "src").persist()
+        gather_edges.count()
+    loop_width = max(gather_edges.rdd.getNumPartitions(),
                      n // STATE_ROWS_PER_PARTITION + 1)
-    with static_plan(spark, enabled=static_planning), \
-            sized_shuffle(spark, loop_width):
-        return _ppr_loop(graph, sources, damping, tol, max_iter,
-                         checkpoint, gather_mode)
+    try:
+        with static_plan(spark, enabled=static_planning), \
+                sized_shuffle(spark, loop_width):
+            return _ppr_loop(graph, sources, damping, tol, max_iter,
+                             checkpoint, gather_mode, gather_edges)
+    finally:
+        if gather_mode == "shuffle":
+            gather_edges.unpersist()
 
 
 def _ppr_loop(
@@ -98,6 +110,7 @@ def _ppr_loop(
     max_iter: int,
     checkpoint: CheckpointManager,
     gather_mode: str,
+    gather_edges: DataFrame,
 ) -> PageRankResult:
     spark = graph.spark
     n = graph.n
@@ -130,7 +143,7 @@ def _ppr_loop(
     stopped = False
     while it < max_iter:
         it += 1
-        contribs = _gather(graph.edges, _rank_weights(state),
+        contribs = _gather(gather_edges, _rank_weights(state),
                            gather_mode, None)
         # p = d*(gather + dangling*restart) + (1-d)*restart
         new_pr = (
