@@ -29,9 +29,11 @@ def main() -> None:
 
     from pagerank_spark.session import get_spark
     from pagerank_spark import datagen, extraction, graph
-    from pagerank_spark.operators import pagerank, connected_components
+    from pagerank_spark.operators import (
+        bfs_depths, connected_components, pagerank, personalized_pagerank)
     from pagerank_spark.operators.triangles import triangles
     from pagerank_spark.operators.labelprop import label_propagation
+    from pagerank_spark.operators.weighted import weighted_pagerank
     from pagerank_spark.pipeline import dedup, similarity, textstats
 
     spark = get_spark(
@@ -76,6 +78,12 @@ def main() -> None:
     timed("triangle_count", lambda: triangles(g.edges).count())
     timed("label_propagation_k2",
           lambda: label_propagation(g.edges, max_iter=2).count())
+    timed("bfs_depths", lambda: bfs_depths(g.edges, [1]).count())
+    timed("ppr_k20",
+          lambda: personalized_pagerank(g, [1], max_iter=20).ranks.count())
+    timed("pagerank_weighted_k20",
+          lambda: weighted_pagerank(
+              g.edges.withColumn("weight", F.lit(1.0)), max_iter=20).count())
 
     # -- extraction stage (pandas-UDF path) -------------------------------
     files, _ = datagen.repo_files_corpus(
