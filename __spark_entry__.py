@@ -43,6 +43,13 @@ LSH_PLANES, LSH_TABLES, LSH_SEED = 4, 8, 42  # ann_lsh_topk params
 # coincide.
 PAGERANK_ORACLE_ITERS = 180
 FRAME_EVERY_N = 10  # video_frames sampling stride, both engines
+HITS_K = 5  # hits_k5 iteration count, both engines
+KCORE_K = 40  # kcore peel threshold, both engines
+# Unrolled peel rounds in the kcore oracle; the engine peels to the
+# true fixpoint and peeling is monotone, so any round count >= the
+# actual cascade depth yields the identical vertex set (verified:
+# the sf0.01 cascade settles well inside this bound).
+KCORE_ORACLE_ROUNDS = 20
 BFS_SOURCE, BFS_MAX_DEPTH = 1, 50  # bfs_depths source + hop cap, both engines
 PPR_SOURCE = 1  # ppr_k3 personalization source, both engines
 EXACT_DUP_SAMPLE_IDS = 8  # bounded per-digest member sample, both engines
@@ -254,6 +261,48 @@ def q_triangle_count(spark, sf_dir):
 
     return triangles(_edges(spark, sf_dir)).agg(
         F.count(F.lit(1)).alias("n_triangles"))
+
+
+def q_hits_k5(spark, sf_dir):
+    """HITS_K iterations of hubs-and-authorities with per-step L2
+    normalization; the oracle unrolls the identical two-gather +
+    normalize chain so the rounded scores match digit-for-digit."""
+    from pagerank_spark.operators.hits import hits
+
+    res = hits(_edges(spark, sf_dir), max_iter=HITS_K, tol=0.0)
+    return res.select(
+        "id", F.round("hub", ROUND).alias("hub"),
+        F.round("auth", ROUND).alias("auth"))
+
+
+def q_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient over the simple undirected graph:
+    triangle membership (degree-oriented enumeration) against the
+    (deg choose 2) wedge capacity."""
+    from pagerank_spark.operators.structure import clustering_coefficients
+
+    res = clustering_coefficients(_edges(spark, sf_dir))
+    return res.select(
+        "id", F.col("deg").cast("bigint").alias("deg"),
+        F.col("triangles").cast("bigint").alias("triangles"),
+        F.round("lcc", ROUND).alias("lcc"))
+
+
+def q_kcore(spark, sf_dir):
+    """KCORE_K-core membership via iterative peel; the oracle unrolls
+    KCORE_ORACLE_ROUNDS peel rounds (the engine peels to the true
+    fixpoint — past it, extra unrolled rounds are no-ops)."""
+    from pagerank_spark.operators.structure import k_core
+
+    return k_core(_edges(spark, sf_dir), KCORE_K)
+
+
+def q_degree_distribution(spark, sf_dir):
+    """(out_deg, n_vertices) histogram over the dense domain [0, N) —
+    the skew diagnostic that feeds the hub-salting threshold."""
+    from pagerank_spark.operators.structure import degree_distribution
+
+    return degree_distribution(_edges(spark, sf_dir))
 
 
 def q_doc_token_stats(spark, sf_dir):
@@ -516,6 +565,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_domain": q_components_domain,
         "label_propagation_k2": q_label_propagation_k2,
         "triangle_count": q_triangle_count,
+        "hits_k5": q_hits_k5,
+        "clustering_coeff": q_clustering_coeff,
+        "kcore": q_kcore,
+        "degree_distribution": q_degree_distribution,
         "triangles_per_vertex": q_triangles_per_vertex,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
@@ -620,6 +673,67 @@ def _pagerank_unrolled_sql(k: int) -> str:
                       + 0.15 / (SELECT n FROM n) AS pr
                      FROM verts v LEFT JOIN g{i} g ON v.id = g.id)""")
     parts.append(f"\nSELECT id, round(pr, {ROUND}) AS pr FROM p{k}")
+    return "".join(parts)
+
+
+def _hits_unrolled_sql(k: int) -> str:
+    """Generate the k-step unrolled DuckDB HITS chain.
+
+    Mirrors operators/hits.py exactly: per step, authority gather
+    from the previous NORMALIZED hub vector, hub gather from the
+    UNNORMALIZED authorities (the a-norm cancels inside the h
+    normalize), then one L2 normalize per vector.  h0 = 1 over the
+    dense domain [0, N)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGE_SQL}),",
+        "n AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n"
+        " FROM edges),",
+        "verts AS MATERIALIZED (SELECT unnest(generate_series(0,"
+        " (SELECT n - 1 FROM n)))::BIGINT AS id),",
+        "h0 AS (SELECT id, 1.0 AS h FROM verts)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(f""",
+            a{i}u AS (SELECT e.dst AS id, sum(h.h) AS au
+                      FROM edges e JOIN h{i - 1} h ON e.src = h.id
+                      GROUP BY e.dst),
+            h{i}u AS (SELECT e.src AS id, sum(a.au) AS hu
+                      FROM edges e JOIN a{i}u a ON e.dst = a.id
+                      GROUP BY e.src),
+            h{i} AS MATERIALIZED (SELECT v.id,
+                      coalesce(t.hu, 0) / (SELECT sqrt(sum(hu * hu))
+                                           FROM h{i}u) AS h
+                      FROM verts v LEFT JOIN h{i}u t ON v.id = t.id)""")
+    parts.append(f""",
+        afin AS (SELECT v.id,
+                 coalesce(t.au, 0) / (SELECT sqrt(sum(au * au))
+                                      FROM a{k}u) AS a
+                 FROM verts v LEFT JOIN a{k}u t ON v.id = t.id)
+        SELECT h.id, round(h.h, {ROUND}) AS hub, round(a.a, {ROUND}) AS auth
+        FROM h{k} h JOIN afin a ON h.id = a.id""")
+    return "".join(parts)
+
+
+def _kcore_unrolled_sql(k: int, rounds: int) -> str:
+    """Generate the unrolled DuckDB k-core peel: each round keeps
+    vertices whose degree in the surviving subgraph is >= k and
+    restricts the edge set to them.  Peeling is monotone, so any
+    round count >= the cascade depth yields the fixpoint."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGE_SQL}),",
+        "und AS (SELECT DISTINCT least(src, dst) AS lo,"
+        " greatest(src, dst) AS hi FROM edges WHERE src <> dst),",
+        "e0 AS MATERIALIZED (SELECT lo AS src, hi AS dst FROM und"
+        " UNION ALL SELECT hi, lo FROM und)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+            k{i} AS (SELECT src AS id FROM e{i - 1}
+                     GROUP BY src HAVING count(*) >= {k}),
+            e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i - 1} e
+                     JOIN k{i} a ON e.src = a.id
+                     JOIN k{i} b ON e.dst = b.id)""")
+    parts.append(f"\nSELECT id FROM k{rounds}")
     return "".join(parts)
 
 
@@ -881,6 +995,43 @@ def oracle_sql() -> dict[str, str]:
             FROM und e1
             JOIN und e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
             JOIN und e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+        """,
+        "hits_k5": _hits_unrolled_sql(HITS_K),
+        "kcore": _kcore_unrolled_sql(KCORE_K, KCORE_ORACLE_ROUNDS),
+        "clustering_coeff": f"""
+            {edge_cte},
+            und AS (SELECT DISTINCT least(src, dst) AS lo,
+                                    greatest(src, dst) AS hi
+                    FROM edges WHERE src <> dst),
+            ends AS (SELECT lo AS id FROM und UNION ALL SELECT hi FROM und),
+            deg AS (SELECT id, count(*) AS deg FROM ends GROUP BY id),
+            tri AS (
+                SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+                FROM und e1
+                JOIN und e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+                JOIN und e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+            pertri AS (SELECT id, count(*) AS t FROM (
+                           SELECT a AS id FROM tri
+                           UNION ALL SELECT b FROM tri
+                           UNION ALL SELECT c FROM tri)
+                       GROUP BY id)
+            SELECT d.id, d.deg::BIGINT AS deg,
+                   coalesce(p.t, 0)::BIGINT AS triangles,
+                   round(2.0 * coalesce(p.t, 0)
+                         / (d.deg * (d.deg - 1)), {ROUND}) AS lcc
+            FROM deg d LEFT JOIN pertri p ON d.id = p.id
+            WHERE d.deg >= 2
+        """,
+        "degree_distribution": f"""
+            {edge_cte},
+            n AS (SELECT max(greatest(src, dst)) + 1 AS n FROM edges),
+            verts AS (SELECT unnest(generate_series(0,
+                          (SELECT n - 1 FROM n)))::BIGINT AS id),
+            deg AS (SELECT src AS id, count(*) AS c FROM edges GROUP BY src)
+            SELECT coalesce(d.c, 0)::BIGINT AS out_deg,
+                   count(*)::BIGINT AS n_vertices
+            FROM verts v LEFT JOIN deg d ON v.id = d.id
+            GROUP BY 1
         """,
         "doc_token_stats": r"""
             SELECT doc_id,

@@ -4,6 +4,12 @@ from pagerank_spark.operators.components import connected_components
 from pagerank_spark.operators.labelprop import label_propagation
 from pagerank_spark.operators.triangles import triangle_count, triangles_per_vertex
 from pagerank_spark.operators.bfs import bfs_depths
+from pagerank_spark.operators.hits import hits
+from pagerank_spark.operators.structure import (
+    clustering_coefficients,
+    degree_distribution,
+    k_core,
+)
 
 __all__ = [
     "pagerank",
@@ -14,4 +20,8 @@ __all__ = [
     "triangle_count",
     "triangles_per_vertex",
     "bfs_depths",
+    "hits",
+    "clustering_coefficients",
+    "k_core",
+    "degree_distribution",
 ]

@@ -9,16 +9,24 @@ Frontier formulation — per round d:
     frontier_d+1 = Γ(frontier_d) \\ visited
     depth(v)     = first round that reached v
 
-Physical strategy (mirrors operators/labelprop.py): the edge table is
-hash-partitioned by ``src`` — the per-round join key — in ONE fused
-exchange (the symmetrize dedupe runs partition-local on that same
-layout) and cached, so each round moves only the frontier and the
-visited set, never the |E| side.  The frontier is the *small* side by
-construction (≤ |V| rows, usually ≪), so Catalyst/AQE broadcasts it
-into the cached edge partitions; the visited set stays bounded by
-|V| rows.  Per-round shuffle volume therefore tracks the frontier
-expansion, which peaks once and collapses — the same geometric-decay
-property that makes large-star/small-star viable at 100 TB.
+Physical strategy: the symmetrized edge union is persisted NARROW —
+no upfront exchange at all.  Neither a dedupe nor a layout shuffle of
+the |2E| side is warranted: BFS is duplicate-insensitive (frontier
+expansion is ``.distinct()``-ed per round; depth is the min round
+that reaches a vertex), and the per-round join can broadcast the
+frontier into the cached edge partitions instead of co-locating them
+(measured on the 578M-edge smoke graph, the |2E| repartition+dedupe
+dominated the whole traversal).  The loop knows every frontier's
+EXACT row count from the previous round's convergence aggregate, so
+the broadcast is an explicit, driver-decided hint — no stats
+guesswork.  If a frontier ever exceeds the broadcast bound (peak
+expansion on a short-diameter web graph), the edge table is re-laid
+by ``src`` ONCE, on demand, and subsequent shuffle-join rounds move
+only the frontier side — the same broadcast→shuffle flip the
+PageRank gather uses.  Per-round shuffle volume therefore tracks the
+frontier expansion, which peaks once and collapses — the same
+geometric-decay property that makes large-star/small-star viable at
+100 TB.
 
 Convergence is the natural one: an empty frontier (one constant-size
 aggregate per round, fused into the round's only job).  Lineage is
@@ -63,10 +71,9 @@ def bfs_depths(
         checkpoint = CheckpointManager(
             spark, tempfile.mkdtemp(prefix="bfs_ckpt_"), interval=8)
 
-    # One fused exchange: hash(src) partitioning satisfies the
-    # dedupe's clustering requirement, so dropDuplicates runs
-    # partition-local after the single repartition (same trick as
-    # labelprop).  Self-loops never change a depth; drop them.
+    # NARROW symmetrize: no dedupe, no layout shuffle (module
+    # docstring — both were measured waste at 578M edges).  Self-loops
+    # never change a depth; drop them.
     fwd = edges.select("src", "dst")
     halves = [fwd]
     if not directed:
@@ -75,12 +82,7 @@ def bfs_depths(
     und = (
         halves[0] if len(halves) == 1 else halves[0].unionByName(halves[1])
     )
-    und = (
-        und.where(F.col("src") != F.col("dst"))
-        .repartition(edges.rdd.getNumPartitions(), "src")
-        .dropDuplicates(["src", "dst"])
-        .persist()
-    )
+    und = und.where(F.col("src") != F.col("dst")).persist()
     try:
         return _bfs_loop(und, sources, max_depth, checkpoint)
     finally:
@@ -89,6 +91,11 @@ def bfs_depths(
 
 def _bfs_loop(und: DataFrame, sources: DataFrame, max_depth: int,
               checkpoint: CheckpointManager | None) -> DataFrame:
+    # Frontiers at or below this exact row count (known from the
+    # previous round's aggregate) are broadcast; the first larger one
+    # triggers the one-time src re-layout of the edge table.  Same
+    # bound class as the PageRank gather's broadcast→shuffle flip.
+    broadcast_max = 5_000_000
     depths = (
         sources.select(F.col("id").cast("bigint").alias("id"))
         .distinct()
@@ -96,14 +103,27 @@ def _bfs_loop(und: DataFrame, sources: DataFrame, max_depth: int,
         .persist()
     )
     frontier = depths.select("id").persist()
+    frontier_rows = None  # unknown only for round 1 (the source set)
+    laid_out = False
     d = 0
     while d < max_depth:
         d += 1
+        small = frontier_rows is None or frontier_rows <= broadcast_max
+        if not small and not laid_out:
+            # One-time on-demand re-layout: every later shuffle-join
+            # round then moves only the frontier side.
+            relaid = und.repartition(
+                und.rdd.getNumPartitions(), "src").persist()
+            relaid.count()
+            und.unpersist()
+            und = relaid
+            laid_out = True
+        f_side = frontier.withColumnRenamed("id", "src")
         # Γ(frontier) \ visited — the join's small side is the
         # frontier, the anti-join's small side is the (≤|V|-row)
         # visited set.
         new = (
-            und.join(frontier.withColumnRenamed("id", "src"), "src")
+            und.join(F.broadcast(f_side) if small else f_side, "src")
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(depths, "id", "left_anti")
@@ -129,7 +149,12 @@ def _bfs_loop(und: DataFrame, sources: DataFrame, max_depth: int,
         depths.unpersist()
         depths = merged
         frontier = merged.where(F.col("depth") == d).select("id").persist()
+        frontier_rows = grew
         if grew == 0:
             break
     frontier.unpersist()
+    if laid_out:
+        # depths is checkpointed (durable or local) each round, so the
+        # relaid edge cache is no longer referenced.
+        und.unpersist()
     return depths.select("id", "depth")

@@ -1,0 +1,156 @@
+"""HITS (hubs & authorities) — Kleinberg's link-analysis companion
+to PageRank.
+
+The reference engine computes only PageRank
+(``/root/reference/pagerank/src/lib/pagerank.cpp:195-242``); HITS is
+the natural second centrality for a link-graph suite (same gather
+shape, mutually-recursive instead of self-recursive):
+
+    a_un(v) = Σ_{(u,v) ∈ E} h(u)          (authority: gathered over in-edges)
+    h_un(v) = Σ_{(v,w) ∈ E} a_un(w)       (hub: gathered over out-edges)
+    a = a_un / ||a_un||₂ ,  h = h_un / ||h_un||₂
+
+Both normalizations fold into ONE scalar collect per iteration: the
+hub update is linear, so normalizing ``a_un`` before or after the hub
+gather differs only by the scalar ``||a_un||₂``, which cancels inside
+``h_un / ||h_un||₂``.  Each iteration is therefore two broadcast-join
+gathers over the cached edge table plus a single constant-size
+aggregate — the same per-iteration shuffle profile as the PageRank
+loop (the |E| side never moves; only the two |V|-row score tables
+exchange for their partial aggs).
+
+Init: h = 1 for every vertex in the dense domain [0, N) (the usual
+HITS start); vertices with no in-/out-edges settle at score 0 after
+the first normalize.  Convergence: L1 delta over (a, h) < ``tol`` or
+``max_iter``, whichever first — fixed-k runs match an unrolled SQL
+oracle exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from pagerank_spark.checkpoint import CheckpointManager
+
+# Broadcast the |V|-row score side below this many vertices — same
+# threshold/rationale as operators/pagerank.py gather_mode="auto".
+BROADCAST_MAX_VERTICES = 5_000_000
+
+
+def hits(
+    edges: DataFrame,
+    n: int | None = None,
+    tol: float = 1e-10,
+    max_iter: int = 100,
+    checkpoint: CheckpointManager | None = None,
+    checkpoint_interval: int = 8,
+    static_planning: bool = True,
+) -> DataFrame:
+    """(id, hub, auth) after HITS power iteration on the directed
+    edge table, L2-normalized each step.
+
+    ``n`` is the dense vertex-domain size; derived from the max id
+    when omitted.  Parallel edges are deduplicated (reference dedupe
+    semantics, ``pagerank.cpp:28-37``: multiplicity never inflates a
+    gather).
+    """
+    from pagerank_spark.session import sized_shuffle, static_plan
+
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    if n is None:
+        row = e.agg(F.max(F.greatest("src", "dst")).alias("m")).first()
+        if row is None or row["m"] is None:
+            return spark.createDataFrame([], "id BIGINT, hub DOUBLE, auth DOUBLE")
+        n = int(row["m"]) + 1
+    e = e.localCheckpoint(eager=True)
+    if checkpoint is None:
+        import tempfile
+
+        checkpoint = CheckpointManager(
+            spark, tempfile.mkdtemp(prefix="hits_ckpt_"),
+            interval=checkpoint_interval)
+
+    loop_width = e.rdd.getNumPartitions()
+    with static_plan(spark, enabled=static_planning), \
+            sized_shuffle(spark, loop_width):
+        return _hits_loop(spark, e, n, tol, max_iter, checkpoint)
+
+
+def _maybe_broadcast(df: DataFrame, n: int) -> DataFrame:
+    return F.broadcast(df) if n <= BROADCAST_MAX_VERTICES else df
+
+
+def _hits_loop(spark, e: DataFrame, n: int, tol: float, max_iter: int,
+               checkpoint: CheckpointManager) -> DataFrame:
+    state = (
+        spark.range(0, n)
+        .select("id", F.lit(1.0).alias("hub"), F.lit(0.0).alias("auth"))
+        .persist()
+    )
+    it = 0
+    while it < max_iter:
+        it += 1
+        # Authority gather: a_un(v) = Σ h(u) over in-edges (u, v).
+        hubs = state.select(F.col("id").alias("src"), "hub")
+        a_un = (
+            e.join(_maybe_broadcast(hubs, n), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("a_un"))
+        )
+        # Hub gather: h_un(v) = Σ a_un(w) over out-edges (v, w) —
+        # unnormalized authorities; ||a_un||₂ cancels in h's own
+        # normalize (module docstring).
+        a_side = a_un.select(F.col("id").alias("dst"),
+                             F.col("a_un").alias("a_dst"))
+        h_un = (
+            e.join(_maybe_broadcast(a_side, n), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("a_dst").alias("h_un"))
+        )
+        raw = (
+            state
+            .join(a_un, "id", "left")
+            .join(h_un, "id", "left")
+            .select(
+                "id", "hub", "auth",
+                F.coalesce(F.col("a_un"), F.lit(0.0)).alias("a_un"),
+                F.coalesce(F.col("h_un"), F.lit(0.0)).alias("h_un"),
+            )
+        )
+        if checkpoint.should_checkpoint(it):
+            raw = checkpoint.write_state(raw, it).persist()
+        else:
+            raw = raw.localCheckpoint(eager=False)
+        # ONE constant-size collect: both L2 norms in a single agg.
+        norms = raw.agg(
+            F.sum(F.col("a_un") * F.col("a_un")).alias("na2"),
+            F.sum(F.col("h_un") * F.col("h_un")).alias("nh2"),
+        ).first()
+        na = math.sqrt(float(norms["na2"] or 0.0))
+        nh = math.sqrt(float(norms["nh2"] or 0.0))
+        if na == 0.0 or nh == 0.0:
+            # Graph with no edges reachable from the init — all-zero
+            # scores are the fixpoint.
+            state.unpersist()
+            state = raw.select("id", F.lit(0.0).alias("hub"),
+                               F.lit(0.0).alias("auth")).persist()
+            break
+        new_state = raw.select(
+            "id",
+            (F.col("h_un") / F.lit(nh)).alias("hub"),
+            (F.col("a_un") / F.lit(na)).alias("auth"),
+            (F.abs(F.col("h_un") / F.lit(nh) - F.col("hub"))
+             + F.abs(F.col("a_un") / F.lit(na) - F.col("auth"))).alias("_delta"),
+        )
+        row = new_state.agg(F.sum("_delta").alias("l1")).first()
+        l1 = float(row["l1"] or 0.0)
+        if checkpoint.should_checkpoint(it):
+            checkpoint.write_metrics(it, {"l1": l1})
+        state.unpersist()
+        state = new_state.select("id", "hub", "auth").persist()
+        if l1 < tol:
+            break
+    return state.select("id", "hub", "auth")

@@ -1,0 +1,125 @@
+"""Local graph-structure statistics: clustering coefficient, k-core
+decomposition, degree distribution.
+
+None of these exist in the reference engine (it is fixed-function
+PageRank, ``/root/reference/pagerank/src/lib/pagerank.cpp``); they
+round out the link-graph suite with the standard structural queries a
+web-graph analyst runs next to centralities, built entirely from the
+operators already proven at scale:
+
+- clustering coefficient  = triangles (degree-oriented, O(E^{3/2})
+  wedge bound) + one degree agg + one join;
+- k-core                  = iterative peel — each round is a degree
+  agg + two semi-joins, and the working edge set only shrinks, so
+  per-round shuffle volume decays monotonically (the same property
+  that makes large-star/small-star viable at 100 TB);
+- degree distribution     = two map-side-combined aggs (the skew
+  diagnostic that feeds the hub-salting threshold, skew.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pagerank_spark.graph import symmetrize
+from pagerank_spark.operators.triangles import triangles_per_vertex
+
+
+def _simple_undirected(edges: DataFrame) -> DataFrame:
+    """One (src, dst) row per undirected edge pair direction, no
+    self-loops, no parallel edges — symmetrize already dedupes and
+    drops self-loops (graph.py:131)."""
+    return symmetrize(edges)
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """(id, deg, triangles, lcc) per vertex with undirected degree ≥ 2.
+
+    lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) over the simple
+    undirected graph (direction, self-loops and multiplicity
+    discarded — the standard definition).  Vertices of degree < 2
+    have no defined coefficient and are omitted.
+    """
+    und = _simple_undirected(edges).persist()
+    try:
+        deg = und.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("deg"))
+        tri = triangles_per_vertex(und)
+        return (
+            deg.where(F.col("deg") >= 2)
+            .join(tri, "id", "left")
+            .select(
+                "id", "deg",
+                F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+                (F.lit(2.0) * F.coalesce(F.col("triangles"), F.lit(0))
+                 / (F.col("deg") * (F.col("deg") - F.lit(1)))).alias("lcc"),
+            )
+        )
+    finally:
+        und.unpersist()
+
+
+def k_core(edges: DataFrame, k: int, max_rounds: int = 1000) -> DataFrame:
+    """(id,) — vertices of the k-core: the maximal induced subgraph
+    where every vertex has undirected degree ≥ k.
+
+    Iterative peel: drop vertices with degree < k, restrict the edge
+    set to survivors, repeat to fixpoint.  Each round is one degree
+    aggregation and one semi-join per endpoint; the edge set only
+    shrinks, so the convergence aggregate (one COUNT) is
+    constant-size and rounds get geometrically cheaper on typical
+    graphs.  Lineage is truncated per round.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    und = _simple_undirected(edges).localCheckpoint(eager=True)
+    if k <= 1:
+        # Every endpoint of the simple graph has degree >= 1.
+        return und.select(F.col("src").alias("id")).distinct()
+    cur = und
+    n_prev = None
+    for _ in range(max_rounds):
+        deg = cur.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("id").localCheckpoint(
+            eager=True)
+        n = keep.count()
+        if n_prev is not None and n == n_prev:
+            return keep.select("id")
+        n_prev = n
+        if n == 0:
+            return keep.select("id")
+        cur = (
+            cur.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return keep.select("id")
+
+
+def degree_distribution(edges: DataFrame) -> DataFrame:
+    """(out_deg, n_vertices) — how many vertices have each out-degree,
+    over the deduped directed edge table, including the zero bucket
+    (dangling vertices of the dense domain [0, N)).
+
+    Two shuffles, both map-side combined; the result is at most
+    max-degree rows — the skew diagnostic behind the hub-salting
+    threshold (skew.py).
+    """
+    e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    row = e.agg(F.max(F.greatest("src", "dst")).alias("m")).first()
+    if row is None or row["m"] is None:
+        return edges.sparkSession.createDataFrame(
+            [], "out_deg BIGINT, n_vertices BIGINT")
+    n = int(row["m"]) + 1
+    spark = edges.sparkSession
+    deg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg"))
+    dense = (
+        spark.range(0, n)
+        .join(deg, "id", "left")
+        .select(F.coalesce(F.col("out_deg"), F.lit(0)).alias("out_deg"))
+    )
+    return dense.groupBy("out_deg").agg(
+        F.count(F.lit(1)).alias("n_vertices"))
