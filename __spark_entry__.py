@@ -384,6 +384,18 @@ def q_jaccard_pairs(spark, sf_dir):
         threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate clusters: the jaccard_pairs graph closed under
+    connected components (large-star/small-star), singletons labeled
+    by their own doc_id — the canonical-doc assignment a dedup
+    pipeline ships."""
+    from pagerank_spark.pipeline import dedup
+
+    return dedup.near_dup_clusters(
+        _docs(spark, sf_dir),
+        threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     from pagerank_spark.pipeline import dedup
 
@@ -579,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_deduped": q_docs_deduped,
         "minhash_signatures": q_minhash_signatures,
         "jaccard_pairs": q_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1152,6 +1165,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON doc_a = sa.doc_id
             JOIN sizes sb ON doc_b = sb.doc_id
             WHERE round(i / (sa.sz + sb.sz - i), 6) >= {JACCARD_THRESHOLD}
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_SHINGLE_SQL},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM doc_sh GROUP BY doc_id),
+            rare AS (SELECT shingle FROM doc_sh GROUP BY shingle
+                     HAVING count(*) <= {JACCARD_MAX_DF}),
+            capped AS (SELECT d.doc_id, d.shingle
+                       FROM doc_sh d JOIN rare r ON d.shingle = r.shingle),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS i
+                FROM capped a JOIN capped b ON a.shingle = b.shingle
+                WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id),
+            pairs AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sizes sa ON doc_a = sa.doc_id
+                JOIN sizes sb ON doc_b = sb.doc_id
+                WHERE round(i / (sa.sz + sb.sz - i), 6)
+                      >= {JACCARD_THRESHOLD}),
+            sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+            verts AS (SELECT DISTINCT src AS id FROM sym),
+            reach(id, r) AS (
+                SELECT id, id FROM verts
+                UNION
+                SELECT re.id, s.dst FROM reach re JOIN sym s ON re.r = s.src),
+            comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+            SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
         """,
         "embedding_near_dups": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -65,7 +65,12 @@ def hits(
         if row is None or row["m"] is None:
             return spark.createDataFrame([], "id BIGINT, hub DOUBLE, auth DOUBLE")
         n = int(row["m"]) + 1
-    e = e.localCheckpoint(eager=True)
+    # Columnar SQL cache, not an RDD localCheckpoint: compressed
+    # columnar blocks are several times smaller at web scale (see
+    # graph.prepare_prebuilt), and the static plan above the cache
+    # keeps per-iteration re-analysis constant-size.
+    e = e.persist()
+    e.count()
     if checkpoint is None:
         import tempfile
 
@@ -74,9 +79,12 @@ def hits(
             interval=checkpoint_interval)
 
     loop_width = e.rdd.getNumPartitions()
-    with static_plan(spark, enabled=static_planning), \
-            sized_shuffle(spark, loop_width):
-        return _hits_loop(spark, e, n, tol, max_iter, checkpoint)
+    try:
+        with static_plan(spark, enabled=static_planning), \
+                sized_shuffle(spark, loop_width):
+            return _hits_loop(spark, e, n, tol, max_iter, checkpoint)
+    finally:
+        e.unpersist()
 
 
 def _maybe_broadcast(df: DataFrame, n: int) -> DataFrame:

@@ -45,11 +45,18 @@ def prepare_weighted(edges_w: DataFrame,
         F.sum("w").alias("strength"))
     row = edges.agg(F.max(F.greatest("src", "dst")).alias("m")).first()
     n = int(row["m"]) + 1 if row and row["m"] is not None else 0
+    # Columnar SQL cache, NOT an RDD localCheckpoint: at 1e8+ rows the
+    # compressed columnar blocks are several times smaller than raw
+    # UnsafeRow checkpoint blocks (an eager localCheckpoint of a
+    # 578M-row norm table blew the heap where this cache fits — same
+    # rationale as graph.prepare_prebuilt).  The plan above it is
+    # static, so per-iteration re-analysis stays constant-size.
     norm = (
         edges.join(strength.withColumnRenamed("id", "src"), "src")
         .select("src", "dst", (F.col("w") / F.col("strength")).alias("f"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    norm.count()
     return norm, strength.persist(), n
 
 
@@ -86,6 +93,7 @@ def weighted_pagerank(
                              max_iter, checkpoint)
     finally:
         strength.unpersist()
+        norm.unpersist()
 
 
 def _wpr_loop(spark, norm: DataFrame, strength: DataFrame, n: int,

@@ -469,3 +469,30 @@ def test_real_image_codec_branch(spark):
     feats = multimodal.extract_features(
         media, n_features=4, require_real_codecs=True).collect()
     assert len(feats) == 1 and sum(feats[0]["features"]) == pytest.approx(1.0)
+
+
+def test_near_dup_clusters_transitive_closure(spark):
+    # A ≈ B and B ≈ C but A vs C alone might miss threshold — the
+    # component closure must still place all three in one cluster;
+    # unrelated docs stay singletons labeled by their own id.
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    d = _mk_docs(spark, [
+        base,                                   # 0
+        base + " extra",                        # 1 (near-dup of 0)
+        base + " extra words",                  # 2 (near-dup of 1)
+        "completely different text about spark engines and shuffles",  # 3
+        "completely different text about spark engines and shuffles",  # 4 (exact dup of 3)
+    ])
+    rows = {r["doc_id"]: r["cluster"]
+            for r in dedup.near_dup_clusters(d, threshold=0.5).collect()}
+    assert rows[0] == rows[1] == rows[2] == 0
+    assert rows[3] == rows[4] == 3
+    assert len(rows) == 5
+
+
+def test_near_dup_clusters_all_singletons(spark):
+    d = _mk_docs(spark, ["alpha beta gamma delta", "one two three four",
+                         "red green blue yellow"])
+    rows = {r["doc_id"]: r["cluster"]
+            for r in dedup.near_dup_clusters(d, threshold=0.9).collect()}
+    assert rows == {0: 0, 1: 1, 2: 2}
