@@ -51,6 +51,13 @@ KCORE_K = 40  # kcore peel threshold, both engines
 # the sf0.01 cascade settles well inside this bound).
 KCORE_ORACLE_ROUNDS = 20
 BFS_SOURCE, BFS_MAX_DEPTH = 1, 50  # bfs_depths source + hop cap, both engines
+SSSP_SOURCE = 1  # sssp source vertex, both engines
+# Unrolled Bellman-Ford rounds in the sssp oracle; the engine relaxes
+# to the true fixpoint, and full-relaxation rounds are monotone, so
+# any round count >= the hop length of the longest shortest path
+# yields the identical distance table.  Path weights are sums of
+# small integers ((src+dst)%7+1), exact in doubles — no float drift.
+SSSP_ORACLE_ROUNDS = 25
 PPR_SOURCE = 1  # ppr_k3 personalization source, both engines
 EXACT_DUP_SAMPLE_IDS = 8  # bounded per-digest member sample, both engines
 REPO_BUCKETS = 40  # synthetic repo-files corpus: repos = doc_id % this
@@ -241,6 +248,19 @@ def q_bfs_depths(spark, sf_dir):
 
     return bfs_depths(_edges(spark, sf_dir), [BFS_SOURCE],
                       max_depth=BFS_MAX_DEPTH)
+
+
+def q_sssp(spark, sf_dir):
+    """Weighted single-source shortest paths from SSSP_SOURCE with the
+    deterministic weight (src+dst)%7+1 — frontier Bellman-Ford; the
+    oracle unrolls full-relaxation rounds to the same fixpoint."""
+    from pagerank_spark.operators.sssp import shortest_paths
+
+    ew = _edges(spark, sf_dir).select(
+        "src", "dst",
+        ((F.col("src") + F.col("dst")) % 7 + 1).cast("double").alias("weight"))
+    out = shortest_paths(ew, [SSSP_SOURCE])
+    return out.select("id", F.round("dist", ROUND).alias("dist"))
 
 
 def q_triangles_per_vertex(spark, sf_dir):
@@ -574,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted_k3": q_pagerank_weighted_k3,
         "connected_components": q_connected_components,
         "bfs_depths": q_bfs_depths,
+        "sssp": q_sssp,
         "components_domain": q_components_domain,
         "label_propagation_k2": q_label_propagation_k2,
         "triangle_count": q_triangle_count,
@@ -724,6 +745,36 @@ def _hits_unrolled_sql(k: int) -> str:
                  FROM verts v LEFT JOIN a{k}u t ON v.id = t.id)
         SELECT h.id, round(h.h, {ROUND}) AS hub, round(a.a, {ROUND}) AS auth
         FROM h{k} h JOIN afin a ON h.id = a.id""")
+    return "".join(parts)
+
+
+def _sssp_unrolled_sql(source: int, rounds: int) -> str:
+    """Generate the unrolled DuckDB Bellman-Ford chain: per round,
+    relax EVERY edge against the previous distance table and keep the
+    per-vertex min.  Full relaxation is monotone, so any round count
+    >= the hop length of the longest shortest path is the fixpoint
+    (the engine's frontier variant relaxes a subset per round but
+    converges to the same fixpoint)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGE_SQL}),",
+        "ew AS MATERIALIZED ("
+        " SELECT src, dst, ((src + dst) % 7 + 1)::DOUBLE AS w"
+        " FROM edges WHERE src <> dst"
+        " UNION ALL"
+        " SELECT dst, src, ((src + dst) % 7 + 1)::DOUBLE AS w"
+        " FROM edges WHERE src <> dst),",
+        f"d0 AS (SELECT CAST({source} AS BIGINT) AS id, 0.0::DOUBLE AS dist)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+            d{i} AS MATERIALIZED (
+                SELECT id, min(dist) AS dist FROM (
+                    SELECT id, dist FROM d{i - 1}
+                    UNION ALL
+                    SELECT e.dst AS id, p.dist + e.w AS dist
+                    FROM ew e JOIN d{i - 1} p ON e.src = p.id)
+                GROUP BY id)""")
+    parts.append(f"\nSELECT id, round(dist, {ROUND}) AS dist FROM d{rounds}")
     return "".join(parts)
 
 
@@ -1010,6 +1061,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN und e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
         """,
         "hits_k5": _hits_unrolled_sql(HITS_K),
+        "sssp": _sssp_unrolled_sql(SSSP_SOURCE, SSSP_ORACLE_ROUNDS),
         "kcore": _kcore_unrolled_sql(KCORE_K, KCORE_ORACLE_ROUNDS),
         "clustering_coeff": f"""
             {edge_cte},

@@ -203,3 +203,81 @@ def test_degree_distribution_counts_sum_to_domain(spark):
     n = max(max(s, d) for s, d in edges) + 1
     assert sum(r["n_vertices"] for r in rows) == n
     assert sum(r["out_deg"] * r["n_vertices"] for r in rows) == len(set(edges))
+
+
+# ------------------------------------------------------------------ sssp
+
+from pagerank_spark.operators.sssp import shortest_paths  # noqa: E402
+
+
+def _wdf(spark, edges):
+    return spark.createDataFrame(
+        edges, "src BIGINT, dst BIGINT, weight DOUBLE")
+
+
+def sssp_oracle(edges, source, directed=False):
+    import heapq
+
+    adj: dict[int, list[tuple[int, float]]] = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+        if not directed:
+            adj.setdefault(d, []).append((s, w))
+    dist = {source: 0.0}
+    pq = [(0.0, source)]
+    while pq:
+        dd, u = heapq.heappop(pq)
+        if dd > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, ()):
+            nd = dd + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def test_sssp_prefers_light_detour(spark):
+    # Direct hop 0->2 costs 10; the detour through 1 costs 3.
+    edges = [(0, 1, 1.0), (1, 2, 2.0), (0, 2, 10.0)]
+    rows = {r["id"]: r["dist"]
+            for r in shortest_paths(_wdf(spark, edges), [0]).collect()}
+    assert rows == {0: 0.0, 1: 1.0, 2: 3.0}
+
+
+def test_sssp_directed_unreachable(spark):
+    edges = [(0, 1, 5.0), (2, 1, 1.0)]
+    rows = {r["id"]: r["dist"]
+            for r in shortest_paths(
+                _wdf(spark, edges), [0], directed=True).collect()}
+    assert rows == {0: 0.0, 1: 5.0}  # 2 unreachable following direction
+
+
+def test_sssp_uniform_weights_match_bfs(spark):
+    import random
+
+    from pagerank_spark.operators import bfs_depths
+
+    rng = random.Random(23)
+    n = 40
+    raw = list({(rng.randrange(n), rng.randrange(n)) for _ in range(120)})
+    ew = _wdf(spark, [(s, d, 1.0) for s, d in raw])
+    got = {r["id"]: r["dist"] for r in shortest_paths(ew, [0]).collect()}
+    depths = {r["id"]: r["depth"] for r in bfs_depths(
+        spark.createDataFrame(raw, "src BIGINT, dst BIGINT"), [0]).collect()}
+    assert got == {k: float(v) for k, v in depths.items()}
+
+
+def test_sssp_random_matches_dijkstra(spark):
+    import random
+
+    rng = random.Random(29)
+    n = 30
+    raw = list({(rng.randrange(n), rng.randrange(n)) for _ in range(100)})
+    edges = [(s, d, float((s + d) % 7 + 1)) for s, d in raw if s != d]
+    rows = {r["id"]: r["dist"]
+            for r in shortest_paths(_wdf(spark, edges), [0]).collect()}
+    oracle = sssp_oracle(edges, 0)
+    assert rows.keys() == oracle.keys()
+    for v, dd in oracle.items():
+        assert rows[v] == pytest.approx(dd)
