@@ -30,7 +30,8 @@ def main() -> None:
     from pagerank_spark.session import get_spark
     from pagerank_spark import datagen, extraction, graph
     from pagerank_spark.operators import (
-        bfs_depths, connected_components, pagerank, personalized_pagerank)
+        bfs_depths, clustering_coefficients, connected_components, hits,
+        k_core, pagerank, personalized_pagerank, shortest_paths)
     from pagerank_spark.operators.triangles import triangles
     from pagerank_spark.operators.labelprop import label_propagation
     from pagerank_spark.operators.weighted import weighted_pagerank
@@ -84,6 +85,16 @@ def main() -> None:
     timed("pagerank_weighted_k20",
           lambda: weighted_pagerank(
               g.edges.withColumn("weight", F.lit(1.0)), max_iter=20).count())
+    timed("hits_k8", lambda: hits(g.edges, n=g.n, max_iter=8).count())
+    timed("sssp",
+          lambda: shortest_paths(
+              g.edges.withColumn(
+                  "weight",
+                  ((F.col("src") + F.col("dst")) % 7 + 1).cast("double")),
+              [1]).count())
+    timed("kcore_40", lambda: k_core(g.edges, 40).count())
+    timed("clustering_coeff",
+          lambda: clustering_coefficients(g.edges).count())
 
     # -- extraction stage (pandas-UDF path) -------------------------------
     files, _ = datagen.repo_files_corpus(
@@ -108,6 +119,9 @@ def main() -> None:
           lambda: dedup.minhash_candidate_pairs(docs).count())
     timed("jaccard_pairs",
           lambda: dedup.ngram_jaccard_pairs(
+              docs, threshold=0.8, max_df=100).count())
+    timed("dedup_clusters",
+          lambda: dedup.near_dup_clusters(
               docs, threshold=0.8, max_df=100).count())
     timed("simhash_pairs",
           lambda: dedup.simhash_near_pairs(docs, max_hamming=3).count())

@@ -137,28 +137,47 @@ def connected_components(
                .where(F.col("src") != F.col("dst"))
                .persist())
     prev_sig = _edge_checksum(cur)
-    while it < max_iter:
-        it += 1
-        ls = _large_star(cur)
-        # large-star's output is already (hi, lo)-oriented and small-star
-        # re-orients internally, so it consumes ls directly; only the
-        # round's final edge set needs symmetrizing (next large-star
-        # wants full neighborhoods).  One symmetrize per round, not two.
-        nxt = symmetrize(_small_star(ls))
-        if checkpoint is not None and checkpoint.should_checkpoint(it):
-            nxt = checkpoint.write_state(nxt, it).persist()
-        else:
-            # Truncate lineage each round (plan would double per round).
-            nxt = nxt.localCheckpoint(eager=True)
-        sig = _edge_checksum(nxt)
-        cur.unpersist()
-        cur = nxt
-        if checkpoint is not None and checkpoint.should_checkpoint(it):
-            checkpoint.write_metrics(it, {"edges": float(sig[0]),
-                                          "checksum": float(sig[1] % 2**31)})
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+    # Size the round exchanges to the DATA the loop moves: prev_sig
+    # already carries the exact symmetrized edge count for free, and
+    # the working set only SHRINKS from there (star rewires), so the
+    # initial width is an upper bound for every round.  Same policy
+    # and rationale as graph.prepare — on a tiny pair graph (e.g. the
+    # near-dup cluster closure) the session width schedules
+    # mostly-empty tasks each round and launch overhead dominates; at
+    # web scale the session cap binds and this is a no-op.
+    from pagerank_spark.graph import EDGES_PER_PARTITION
+    from pagerank_spark.session import sized_shuffle
+
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_width = max(
+        min(shuffle_parts, prev_sig[0] // EDGES_PER_PARTITION + 1),
+        min(8, shuffle_parts),
+    )
+    with sized_shuffle(spark, loop_width):
+        while it < max_iter:
+            it += 1
+            ls = _large_star(cur)
+            # large-star's output is already (hi, lo)-oriented and
+            # small-star re-orients internally, so it consumes ls
+            # directly; only the round's final edge set needs
+            # symmetrizing (next large-star wants full neighborhoods).
+            # One symmetrize per round, not two.
+            nxt = symmetrize(_small_star(ls))
+            if checkpoint is not None and checkpoint.should_checkpoint(it):
+                nxt = checkpoint.write_state(nxt, it).persist()
+            else:
+                # Truncate lineage each round (plan doubles per round).
+                nxt = nxt.localCheckpoint(eager=True)
+            sig = _edge_checksum(nxt)
+            cur.unpersist()
+            cur = nxt
+            if checkpoint is not None and checkpoint.should_checkpoint(it):
+                checkpoint.write_metrics(
+                    it, {"edges": float(sig[0]),
+                         "checksum": float(sig[1] % 2**31)})
+            if sig == prev_sig:
+                break
+            prev_sig = sig
 
     # At the fixpoint the (hi→lo) orientation is a star forest: every
     # non-root points directly at its component min.
