@@ -283,6 +283,44 @@ def q_triangle_count(spark, sf_dir):
         F.count(F.lit(1)).alias("n_triangles"))
 
 
+def q_reciprocity(spark, sf_dir):
+    """Mutual-link fraction of the deduped directed edge set
+    (self-loops excluded): |{(u,v) : (v,u) ∈ E}| / |E| — the classic
+    web-graph symmetry diagnostic.  One semi-join, two aggs."""
+    e = (_edges(spark, sf_dir)
+         .where(F.col("src") != F.col("dst")).persist())
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = e.join(rev, ["src", "dst"], "left_semi")
+    return e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        mutual.agg(F.count(F.lit(1)).alias("n_mutual"))
+    ).select(
+        "n_edges", "n_mutual",
+        F.round(F.col("n_mutual") / F.col("n_edges"), ROUND)
+        .alias("reciprocity"))
+
+
+def q_top_central_per_label(spark, sf_dir):
+    """Cross-operator composition: 2-round label-propagation
+    communities × 3-step PageRank centrality × a row_number window —
+    the most central vertex of every community.  Ties break on the
+    rounded rank then the smaller id, mirrored in the oracle."""
+    from pyspark.sql import Window
+
+    from pagerank_spark.operators import label_propagation, pagerank
+
+    labels = label_propagation(_edges(spark, sf_dir), max_iter=2)
+    ranks = pagerank(_graph(spark, sf_dir), max_iter=3).converged_ranks
+    joined = labels.join(ranks, "id").select(
+        "label", "id", F.round("pr", ROUND).alias("pr"))
+    w = Window.partitionBy("label").orderBy(
+        F.desc("pr"), F.asc("id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("label", F.col("id").alias("top_id"), "pr")
+    )
+
+
 def q_hits_k5(spark, sf_dir):
     """HITS_K iterations of hubs-and-authorities with per-step L2
     normalization; the oracle unrolls the identical two-gather +
@@ -597,6 +635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": q_sssp,
         "components_domain": q_components_domain,
         "label_propagation_k2": q_label_propagation_k2,
+        "reciprocity": q_reciprocity,
+        "top_central_per_label": q_top_central_per_label,
         "triangle_count": q_triangle_count,
         "hits_k5": q_hits_k5,
         "clustering_coeff": q_clustering_coeff,
@@ -811,6 +851,57 @@ _LANG_LISTS = {
 }
 
 
+# Shared CTE fragments (each assumes an ``edges`` CTE in scope).
+# Factored so single-operator oracles and the cross-operator
+# composition oracle can never drift apart.
+_PR3_CTES = """
+    n AS (SELECT (max(greatest(src, dst)) + 1)::DOUBLE AS n FROM edges),
+    outd AS (SELECT src AS id, count(*)::DOUBLE AS od
+             FROM edges GROUP BY src),
+    verts AS (SELECT unnest(generate_series(0,
+                  (SELECT n::BIGINT - 1 FROM n)))::BIGINT AS id),
+    -- iter 1 from the zero vector: gather 0, dangling skipped
+    p1 AS (SELECT id, 0.15 / (SELECT n FROM n) AS pr FROM verts),
+    d2 AS (SELECT coalesce(sum(p.pr), 0) AS d FROM p1 p
+           LEFT JOIN outd o ON p.id = o.id WHERE o.id IS NULL),
+    g2 AS (SELECT e.dst AS id, sum(p.pr / o.od) AS c
+           FROM edges e JOIN p1 p ON e.src = p.id
+           JOIN outd o ON e.src = o.id GROUP BY e.dst),
+    p2 AS (SELECT v.id,
+                  (coalesce(g.c, 0) + (SELECT d FROM d2) / (SELECT n FROM n))
+                      * 0.85 + 0.15 / (SELECT n FROM n) AS pr
+           FROM verts v LEFT JOIN g2 g ON v.id = g.id),
+    d3 AS (SELECT coalesce(sum(p.pr), 0) AS d FROM p2 p
+           LEFT JOIN outd o ON p.id = o.id WHERE o.id IS NULL),
+    g3 AS (SELECT e.dst AS id, sum(p.pr / o.od) AS c
+           FROM edges e JOIN p2 p ON e.src = p.id
+           JOIN outd o ON e.src = o.id GROUP BY e.dst),
+    p3 AS (SELECT v.id,
+                  (coalesce(g.c, 0) + (SELECT d FROM d3) / (SELECT n FROM n))
+                      * 0.85 + 0.15 / (SELECT n FROM n) AS pr
+           FROM verts v LEFT JOIN g3 g ON v.id = g.id)
+"""
+
+_LPA2_CTES = """
+    sym AS (SELECT src, dst FROM edges WHERE src <> dst
+            UNION
+            SELECT dst, src FROM edges WHERE src <> dst),
+    l0 AS (SELECT DISTINCT src AS id FROM sym),
+    h1 AS (SELECT s.dst AS id, l.id AS label, count(*) AS cnt
+           FROM sym s JOIN l0 l ON s.src = l.id GROUP BY s.dst, l.id),
+    l1 AS (SELECT id, label FROM (
+               SELECT id, label, row_number() OVER (
+                   PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+               FROM h1) WHERE rn = 1),
+    h2 AS (SELECT s.dst AS id, l.label, count(*) AS cnt
+           FROM sym s JOIN l1 l ON s.src = l.id GROUP BY s.dst, l.label),
+    l2 AS (SELECT id, label FROM (
+               SELECT id, label, row_number() OVER (
+                   PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+               FROM h2) WHERE rn = 1)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     edge_cte = f"WITH edges AS ({_EDGE_SQL})"
     lang_hits = ", ".join(
@@ -865,32 +956,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY out_deg DESC, id ASC LIMIT 5
         """,
         "pagerank_k3": f"""
-            {edge_cte},
-            n AS (SELECT (max(greatest(src, dst)) + 1)::DOUBLE AS n FROM edges),
-            outd AS (SELECT src AS id, count(*)::DOUBLE AS od
-                     FROM edges GROUP BY src),
-            verts AS (SELECT unnest(generate_series(0,
-                          (SELECT n::BIGINT - 1 FROM n)))::BIGINT AS id),
-            -- iter 1 from the zero vector: gather 0, dangling skipped
-            p1 AS (SELECT id, 0.15 / (SELECT n FROM n) AS pr FROM verts),
-            d2 AS (SELECT coalesce(sum(p.pr), 0) AS d FROM p1 p
-                   LEFT JOIN outd o ON p.id = o.id WHERE o.id IS NULL),
-            g2 AS (SELECT e.dst AS id, sum(p.pr / o.od) AS c
-                   FROM edges e JOIN p1 p ON e.src = p.id
-                   JOIN outd o ON e.src = o.id GROUP BY e.dst),
-            p2 AS (SELECT v.id,
-                          (coalesce(g.c, 0) + (SELECT d FROM d2) / (SELECT n FROM n))
-                              * 0.85 + 0.15 / (SELECT n FROM n) AS pr
-                   FROM verts v LEFT JOIN g2 g ON v.id = g.id),
-            d3 AS (SELECT coalesce(sum(p.pr), 0) AS d FROM p2 p
-                   LEFT JOIN outd o ON p.id = o.id WHERE o.id IS NULL),
-            g3 AS (SELECT e.dst AS id, sum(p.pr / o.od) AS c
-                   FROM edges e JOIN p2 p ON e.src = p.id
-                   JOIN outd o ON e.src = o.id GROUP BY e.dst),
-            p3 AS (SELECT v.id,
-                          (coalesce(g.c, 0) + (SELECT d FROM d3) / (SELECT n FROM n))
-                              * 0.85 + 0.15 / (SELECT n FROM n) AS pr
-                   FROM verts v LEFT JOIN g3 g ON v.id = g.id)
+            {edge_cte}, {_PR3_CTES}
             SELECT id, round(pr, 9) AS pr FROM p3
         """,
         "pagerank_converged": _pagerank_unrolled_sql(PAGERANK_ORACLE_ITERS),
@@ -1031,24 +1097,28 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY id
         """,
         "label_propagation_k2": f"""
-            {edge_cte},
-            sym AS (SELECT src, dst FROM edges WHERE src <> dst
-                    UNION
-                    SELECT dst, src FROM edges WHERE src <> dst),
-            l0 AS (SELECT DISTINCT src AS id FROM sym),
-            h1 AS (SELECT s.dst AS id, l.id AS label, count(*) AS cnt
-                   FROM sym s JOIN l0 l ON s.src = l.id GROUP BY s.dst, l.id),
-            l1 AS (SELECT id, label FROM (
-                       SELECT id, label, row_number() OVER (
-                           PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
-                       FROM h1) WHERE rn = 1),
-            h2 AS (SELECT s.dst AS id, l.label, count(*) AS cnt
-                   FROM sym s JOIN l1 l ON s.src = l.id GROUP BY s.dst, l.label),
-            l2 AS (SELECT id, label FROM (
-                       SELECT id, label, row_number() OVER (
-                           PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
-                       FROM h2) WHERE rn = 1)
+            {edge_cte}, {_LPA2_CTES}
             SELECT id, label FROM l2
+        """,
+        "reciprocity": f"""
+            {edge_cte},
+            e AS (SELECT src, dst FROM edges WHERE src <> dst),
+            tot AS (SELECT count(*) AS n_edges FROM e),
+            m AS (SELECT count(*) AS n_mutual FROM e a
+                  WHERE EXISTS (SELECT 1 FROM e b
+                                WHERE b.src = a.dst AND b.dst = a.src))
+            SELECT t.n_edges, m.n_mutual,
+                   round(m.n_mutual / t.n_edges, {ROUND}) AS reciprocity
+            FROM tot t CROSS JOIN m
+        """,
+        "top_central_per_label": f"""
+            {edge_cte}, {_LPA2_CTES}, {_PR3_CTES},
+            j AS (SELECT l.label, l.id, round(p.pr, {ROUND}) AS pr
+                  FROM l2 l JOIN p3 p ON l.id = p.id),
+            r AS (SELECT label, id, pr, row_number() OVER (
+                      PARTITION BY label ORDER BY pr DESC, id ASC) AS rn
+                  FROM j)
+            SELECT label, id AS top_id, pr FROM r WHERE rn = 1
         """,
         "triangle_count": f"""
             {edge_cte},

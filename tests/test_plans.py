@@ -91,3 +91,65 @@ def test_extraction_ownership_broadcast(spark):
     files, _ = datagen.repo_files_corpus(spark, seed=42)
     plan = _physical(extraction.derive_edges(files))
     assert "BroadcastHashJoin" in plan
+
+
+def test_clustering_coeff_no_cartesian(spark):
+    from pagerank_spark.operators import clustering_coefficients
+
+    df = clustering_coefficients(edges_df(spark, F2_EDGES))
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan  # degree + triangle aggs partial-combined
+
+
+def test_hits_double_gather_edge_side_stays_put(spark):
+    # The HITS round (operators/hits.py): two gathers over the SAME
+    # cached edge table with the |V|-row score sides broadcast — the
+    # |E| side must never exchange.  Reconstructs the round expression
+    # exactly as the loop builds it.
+    edges = [(i % 40, (i * 7) % 40) for i in range(400)]
+    e = edges_df(spark, edges).dropDuplicates(["src", "dst"]).persist()
+    e.count()
+    hubs = e.select(F.col("src").alias("id")).distinct().select(
+        "id", F.lit(1.0).alias("hub"))
+    a_un = (
+        e.join(F.broadcast(hubs.withColumnRenamed("id", "src")), "src")
+        .groupBy(F.col("dst").alias("id")).agg(F.sum("hub").alias("a_un"))
+    )
+    h_un = (
+        e.join(F.broadcast(a_un.select(F.col("id").alias("dst"),
+                                       F.col("a_un").alias("a_dst"))), "dst")
+        .groupBy(F.col("src").alias("id")).agg(F.sum("a_dst").alias("h_un"))
+    )
+    plan = _physical(h_un)
+    assert plan.count("BroadcastHashJoin") == 2
+    # No shuffle of the edge side before the cached relation internals:
+    # the only exchanges are the two partial-agg combines.
+    head = plan.split("InMemoryRelation")[0]
+    assert head.count("Exchange") <= 2
+    e.unpersist()
+
+
+def test_bfs_frontier_round_broadcasts(spark):
+    # The BFS/SSSP round (operators/bfs.py, sssp.py): narrow persisted
+    # symmetrized union + explicitly broadcast frontier.  The hint must
+    # hold even with auto-broadcast disabled (the loop decides from
+    # exact counts, not stats), and the |E| side must not exchange.
+    edges = edges_df(spark, F2_EDGES)
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).where(F.col("src") != F.col("dst")).persist()
+    und.count()
+    frontier = spark.createDataFrame([(1,)], "src BIGINT")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        new = (und.join(F.broadcast(frontier), "src")
+               .select(F.col("dst").alias("id")).distinct())
+        plan = _physical(new)
+        assert "BroadcastHashJoin" in plan
+        head = plan.split("InMemoryRelation")[0]
+        assert head.count("Exchange") <= 1  # only the distinct
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        und.unpersist()
