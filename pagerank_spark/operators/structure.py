@@ -72,29 +72,38 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 1000) -> DataFrame:
     """
     if k < 0:
         raise ValueError("k must be >= 0")
-    und = _simple_undirected(edges).localCheckpoint(eager=True)
+    # Columnar SQL cache, not an eager RDD localCheckpoint: at web
+    # scale the |2E|-row symmetrized set as raw UnsafeRow checkpoint
+    # blocks blows the heap where compressed columnar batches fit
+    # (same rationale as graph.prepare_prebuilt; the round tables
+    # below shrink monotonically from this bound).
+    und = _simple_undirected(edges).persist()
     if k <= 1:
         # Every endpoint of the simple graph has degree >= 1.
         return und.select(F.col("src").alias("id")).distinct()
     cur = und
     n_prev = None
+    keep = None
     for _ in range(max_rounds):
         deg = cur.groupBy(F.col("src").alias("id")).agg(
             F.count(F.lit(1)).alias("deg"))
         keep = deg.where(F.col("deg") >= k).select("id").localCheckpoint(
-            eager=True)
+            eager=True)  # |V|-row table: checkpoint cost is fine
         n = keep.count()
-        if n_prev is not None and n == n_prev:
+        if (n_prev is not None and n == n_prev) or n == 0:
+            cur.unpersist()
             return keep.select("id")
         n_prev = n
-        if n == 0:
-            return keep.select("id")
-        cur = (
+        nxt = (
             cur.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
             .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .persist()
         )
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
     return keep.select("id")
 
 
