@@ -44,7 +44,9 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     try:
         deg = und.groupBy(F.col("src").alias("id")).agg(
             F.count(F.lit(1)).alias("deg"))
-        tri = triangles_per_vertex(und)
+        # und IS the symmetric simple set (and persisted) — skip the
+        # redundant second symmetrize inside the triangle orientation.
+        tri = triangles_per_vertex(und, symmetrized=True)
         return (
             deg.where(F.col("deg") >= 2)
             .join(tri, "id", "left")

@@ -21,10 +21,13 @@ from pyspark.sql import DataFrame, functions as F
 from pagerank_spark.graph import symmetrize
 
 
-def _oriented(edges: DataFrame) -> DataFrame:
+def _oriented(edges: DataFrame, symmetrized: bool = False) -> DataFrame:
     """Undirected edge set oriented by (degree, id): (lo, hi) with
-    rank(lo) < rank(hi)."""
-    und = symmetrize(edges)
+    rank(lo) < rank(hi).  ``symmetrized=True`` asserts the input is
+    already the symmetric simple set, skipping a redundant |2E|
+    union+dedupe exchange (e.g. the clustering-coefficient caller,
+    which owns the symmetrized cache)."""
+    und = edges if symmetrized else symmetrize(edges)
     deg = und.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("deg"))
     canon = und.where(F.col("src") < F.col("dst"))  # one row per undirected edge
@@ -41,9 +44,9 @@ def _oriented(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangles(edges: DataFrame) -> DataFrame:
+def triangles(edges: DataFrame, symmetrized: bool = False) -> DataFrame:
     """(a, b, c) — one row per triangle, a = min-order apex."""
-    o = _oriented(edges).persist()
+    o = _oriented(edges, symmetrized).persist()
     e1 = o.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     e2 = o.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
     wedges = e1.join(e2, "a").where(F.col("b") < F.col("c"))
@@ -56,11 +59,12 @@ def triangle_count(edges: DataFrame) -> int:
     return triangles(edges).count()
 
 
-def triangles_per_vertex(edges: DataFrame) -> DataFrame:
+def triangles_per_vertex(edges: DataFrame,
+                         symmetrized: bool = False) -> DataFrame:
     """(id, triangles) — number of triangles each vertex participates
     in; vertices in no triangle are omitted (join with the vertex set
     and coalesce(0) if a dense result is needed)."""
-    t = triangles(edges)
+    t = triangles(edges, symmetrized)
     ids = (
         t.select(F.col("a").alias("id"))
         .unionByName(t.select(F.col("b").alias("id")))
