@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Multi-algorithm link-graph job — the spark-submit entry point for
+everything beyond plain PageRank (which has its own tuned job,
+jobs/pagerank_job.py).
+
+    spark-submit --py-files engine.zip jobs/graph_job.py \
+        --edges /path/to/edges.parquet \
+        --algos cc,lpa,triangles,bfs,sssp,hits,kcore,ppr,wpr,lcc,degdist \
+        [--source 0] [--k 3] [--max-iter 20] [--out result.json]
+
+Every algorithm prints its summary into ONE JSON line, so the job is
+scriptable the same way bench_scaling drives pagerank_job.  Edge
+weights for sssp/wpr default to the deterministic (src+dst)%7+1 used
+by the driver oracle; pass --weight-col if the input carries one.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--edges", required=True, help="parquet edge table (src,dst)")
+    p.add_argument("--algos", default="cc,lpa,triangles",
+                   help="comma list: cc,lpa,triangles,bfs,sssp,hits,"
+                        "kcore,ppr,wpr,lcc,degdist")
+    p.add_argument("--master", default=None)
+    p.add_argument("--source", type=int, default=0,
+                   help="bfs/sssp/ppr source vertex")
+    p.add_argument("--k", type=int, default=3, help="k-core threshold")
+    p.add_argument("--max-iter", type=int, default=20,
+                   help="iteration cap for lpa/hits/ppr/wpr")
+    p.add_argument("--weight-col", default=None,
+                   help="weight column for sssp/wpr; defaults to the "
+                        "deterministic (src+dst)%%7+1 expression")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.session import get_spark
+    from pagerank_spark import graph
+    from pagerank_spark.operators import (
+        bfs_depths, clustering_coefficients, connected_components,
+        degree_distribution, hits, k_core, label_propagation,
+        personalized_pagerank, shortest_paths)
+    from pagerank_spark.operators.triangles import triangles
+    from pagerank_spark.operators.weighted import weighted_pagerank
+
+    spark = get_spark(app_name="graph_job", master=args.master)
+    edges = spark.read.parquet(args.edges)
+    g = graph.prepare(edges)
+
+    def weighted_edges():
+        if args.weight_col:
+            return edges.select("src", "dst",
+                                F.col(args.weight_col).alias("weight"))
+        return g.edges.select(
+            "src", "dst",
+            ((F.col("src") + F.col("dst")) % 7 + 1)
+            .cast("double").alias("weight"))
+
+    results: dict[str, dict] = {}
+
+    def run(name, fn):
+        t0 = time.monotonic()
+        results[name] = fn()
+        results[name]["sec"] = round(time.monotonic() - t0, 3)
+
+    algos = {a.strip() for a in args.algos.split(",") if a.strip()}
+    unknown = algos - {"cc", "lpa", "triangles", "bfs", "sssp", "hits",
+                       "kcore", "ppr", "wpr", "lcc", "degdist"}
+    if unknown:
+        raise SystemExit(f"unknown algos: {sorted(unknown)}")
+
+    if "cc" in algos:
+        run("cc", lambda: {"components": connected_components(g.edges)
+                           .select(F.countDistinct("component")).first()[0]})
+    if "lpa" in algos:
+        run("lpa", lambda: {"labels": label_propagation(
+            g.edges, max_iter=args.max_iter)
+            .select(F.countDistinct("label")).first()[0]})
+    if "triangles" in algos:
+        run("triangles", lambda: {"count": triangles(g.edges).count()})
+    if "bfs" in algos:
+        def _bfs():
+            d = bfs_depths(g.edges, [args.source])
+            row = d.agg(F.count(F.lit(1)).alias("n"),
+                        F.max("depth").alias("m")).first()
+            return {"reached": row["n"], "max_depth": row["m"]}
+        run("bfs", _bfs)
+    if "sssp" in algos:
+        def _sssp():
+            d = shortest_paths(weighted_edges(), [args.source])
+            row = d.agg(F.count(F.lit(1)).alias("n"),
+                        F.max("dist").alias("m")).first()
+            return {"reached": row["n"], "max_dist": row["m"]}
+        run("sssp", _sssp)
+    if "hits" in algos:
+        def _hits():
+            h = hits(g.edges, n=g.n, max_iter=args.max_iter)
+            top = h.orderBy(F.desc("auth"), F.asc("id")).first()
+            return {"top_auth_id": top["id"], "top_auth": top["auth"]}
+        run("hits", _hits)
+    if "kcore" in algos:
+        run("kcore", lambda: {"k": args.k,
+                              "survivors": k_core(g.edges, args.k).count()})
+    if "ppr" in algos:
+        def _ppr():
+            r = personalized_pagerank(g, [args.source],
+                                      max_iter=args.max_iter)
+            top = r.ranks.orderBy(F.desc("pr"), F.asc("id")).first()
+            return {"iterations": r.iterations,
+                    "top_id": top["id"], "top_pr": top["pr"]}
+        run("ppr", _ppr)
+    if "wpr" in algos:
+        def _wpr():
+            r = weighted_pagerank(weighted_edges(), max_iter=args.max_iter)
+            top = r.orderBy(F.desc("pr"), F.asc("id")).first()
+            return {"top_id": top["id"], "top_pr": top["pr"]}
+        run("wpr", _wpr)
+    if "lcc" in algos:
+        def _lcc():
+            c = clustering_coefficients(g.edges)
+            row = c.agg(F.count(F.lit(1)).alias("n"),
+                        F.avg("lcc").alias("avg")).first()
+            return {"vertices": row["n"], "avg_lcc": row["avg"]}
+        run("lcc", _lcc)
+    if "degdist" in algos:
+        def _dd():
+            d = degree_distribution(g.edges)
+            row = d.agg(F.max("out_deg").alias("mx"),
+                        F.count(F.lit(1)).alias("buckets")).first()
+            return {"max_out_deg": row["mx"], "buckets": row["buckets"]}
+        run("degdist", _dd)
+
+    out = {"n_edges": g.edges.count(), "n_vertices": g.n, "algos": results}
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f)
+
+
+if __name__ == "__main__":
+    main()
