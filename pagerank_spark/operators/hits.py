@@ -153,12 +153,18 @@ def _hits_loop(spark, e: DataFrame, n: int, tol: float, max_iter: int,
             (F.abs(F.col("h_un") / F.lit(nh) - F.col("hub"))
              + F.abs(F.col("a_un") / F.lit(na) - F.col("auth"))).alias("_delta"),
         )
-        row = new_state.agg(F.sum("_delta").alias("l1")).first()
-        l1 = float(row["l1"] or 0.0)
-        if checkpoint.should_checkpoint(it):
-            checkpoint.write_metrics(it, {"l1": l1})
+        # Fixed-k mode (tol <= 0, the oracle-matched face) never stops
+        # early — skip the convergence aggregate entirely, halving the
+        # per-iteration scalar collects.
+        if tol > 0.0 or checkpoint.should_checkpoint(it):
+            row = new_state.agg(F.sum("_delta").alias("l1")).first()
+            l1 = float(row["l1"] or 0.0)
+            if checkpoint.should_checkpoint(it):
+                checkpoint.write_metrics(it, {"l1": l1})
+        else:
+            l1 = None
         state.unpersist()
         state = new_state.select("id", "hub", "auth").persist()
-        if l1 < tol:
+        if l1 is not None and l1 < tol:
             break
     return state.select("id", "hub", "auth")

@@ -1,0 +1,58 @@
+"""spark-submit job surface: drive the standalone entry points the
+way a user would (fresh subprocess JVM) on a small edge table and
+check the JSON summaries."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _stage_edges(spark, tmp_path):
+    path = str(tmp_path / "edges.parquet")
+    edges = spark.createDataFrame(
+        [(i % 20, (i * 7 + 1) % 20) for i in range(200)],
+        "src BIGINT, dst BIGINT")
+    edges.write.mode("overwrite").parquet(path)
+    return path, edges
+
+
+def _run(script, *args):
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", script), *args],
+        capture_output=True, text=True, timeout=600, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_graph_job_end_to_end(spark, tmp_path):
+    path, edges = _stage_edges(spark, tmp_path)
+    got = _run("graph_job.py", "--edges", path, "--master", "local[4]",
+               "--algos", "cc,bfs,kcore,degdist", "--source", "0", "--k", "2")
+    assert got["n_edges"] == edges.distinct().count()
+    assert got["algos"]["cc"]["components"] >= 1
+    assert got["algos"]["bfs"]["reached"] >= 1
+    assert got["algos"]["kcore"]["k"] == 2
+    assert got["algos"]["degdist"]["buckets"] >= 1
+
+
+def test_graph_job_rejects_unknown_algo(spark, tmp_path):
+    path, _ = _stage_edges(spark, tmp_path)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "graph_job.py"),
+         "--edges", path, "--master", "local[2]", "--algos", "nope"],
+        capture_output=True, text=True, timeout=300)
+    assert proc.returncode != 0
+    assert "unknown algos" in (proc.stderr + proc.stdout)
+
+
+def test_pagerank_job_end_to_end(spark, tmp_path):
+    path, _ = _stage_edges(spark, tmp_path)
+    got = _run("pagerank_job.py", "--edges", path, "--master", "local[4]",
+               "--tol", "1e-8")
+    assert got["iterations"] > 1
+    assert got["final_l1"] < 1e-8
+    assert got["top_vertex"] is not None
