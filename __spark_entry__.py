@@ -321,6 +321,17 @@ def q_top_central_per_label(spark, sf_dir):
     )
 
 
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman): Pearson correlation of endpoint
+    degrees over the symmetrized simple graph, both directions per
+    undirected edge."""
+    from pagerank_spark.operators.structure import degree_assortativity
+
+    return degree_assortativity(_edges(spark, sf_dir)).select(
+        "n_directed_pairs",
+        F.round("assortativity", ROUND).alias("assortativity"))
+
+
 def q_hits_k5(spark, sf_dir):
     """HITS_K iterations of hubs-and-authorities with per-step L2
     normalization; the oracle unrolls the identical two-gather +
@@ -636,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_domain": q_components_domain,
         "label_propagation_k2": q_label_propagation_k2,
         "reciprocity": q_reciprocity,
+        "assortativity": q_assortativity,
         "top_central_per_label": q_top_central_per_label,
         "triangle_count": q_triangle_count,
         "hits_k5": q_hits_k5,
@@ -1129,6 +1141,19 @@ def oracle_sql() -> dict[str, str]:
             FROM und e1
             JOIN und e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
             JOIN und e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+        """,
+        "assortativity": f"""
+            {edge_cte},
+            und AS (SELECT DISTINCT least(src, dst) AS lo,
+                                    greatest(src, dst) AS hi
+                    FROM edges WHERE src <> dst),
+            sym AS (SELECT lo AS src, hi AS dst FROM und
+                    UNION ALL SELECT hi, lo FROM und),
+            deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src)
+            SELECT count(*) AS n_directed_pairs,
+                   round(corr(a.deg::DOUBLE, b.deg::DOUBLE), {ROUND})
+                       AS assortativity
+            FROM sym s JOIN deg a ON s.src = a.id JOIN deg b ON s.dst = b.id
         """,
         "hits_k5": _hits_unrolled_sql(HITS_K),
         "sssp": _sssp_unrolled_sql(SSSP_SOURCE, SSSP_ORACLE_ROUNDS),

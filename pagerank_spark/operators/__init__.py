@@ -8,6 +8,7 @@ from pagerank_spark.operators.hits import hits
 from pagerank_spark.operators.sssp import shortest_paths
 from pagerank_spark.operators.structure import (
     clustering_coefficients,
+    degree_assortativity,
     degree_distribution,
     k_core,
 )
@@ -26,4 +27,5 @@ __all__ = [
     "clustering_coefficients",
     "k_core",
     "degree_distribution",
+    "degree_assortativity",
 ]

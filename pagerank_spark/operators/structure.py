@@ -134,3 +134,34 @@ def degree_distribution(edges: DataFrame) -> DataFrame:
     )
     return dense.groupBy("out_deg").agg(
         F.count(F.lit(1)).alias("n_vertices"))
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """One row (n_directed_pairs, assortativity): Pearson correlation
+    of endpoint degrees over the symmetrized simple graph (each
+    undirected edge contributes both (deg u, deg v) and (deg v, deg u),
+    the standard Newman formulation, so the correlation is symmetric).
+
+    Negative on the web/power-law graphs this engine targets (hubs
+    attach to leaves); two degree joins + one correlation aggregate —
+    every sum is map-side combined, nothing is collected but the
+    scalar.
+    """
+    und = _simple_undirected(edges).persist()
+    try:
+        deg = und.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("deg"))
+        paired = (
+            und
+            .join(deg.select(F.col("id").alias("src"),
+                             F.col("deg").alias("deg_src")), "src")
+            .join(deg.select(F.col("id").alias("dst"),
+                             F.col("deg").alias("deg_dst")), "dst")
+        )
+        return paired.agg(
+            F.count(F.lit(1)).alias("n_directed_pairs"),
+            F.corr(F.col("deg_src").cast("double"),
+                   F.col("deg_dst").cast("double")).alias("assortativity"),
+        )
+    finally:
+        und.unpersist()

@@ -281,3 +281,39 @@ def test_sssp_random_matches_dijkstra(spark):
     assert rows.keys() == oracle.keys()
     for v, dd in oracle.items():
         assert rows[v] == pytest.approx(dd)
+
+
+# ----------------------------------------------------- assortativity
+
+from pagerank_spark.operators.structure import degree_assortativity  # noqa: E402
+
+
+def test_assortativity_star_is_minus_one(spark):
+    # Star: every pair couples degree 1 with degree n-1 — perfect
+    # disassortativity.
+    row = degree_assortativity(
+        edges_df(spark, [(0, i) for i in range(1, 8)])).first()
+    assert row["n_directed_pairs"] == 14
+    assert row["assortativity"] == pytest.approx(-1.0)
+
+
+def test_assortativity_matches_numpy(spark):
+    rng = random.Random(31)
+    n = 30
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(90)})
+    row = degree_assortativity(edges_df(spark, edges)).first()
+    # NumPy oracle over the same symmetric pair list
+    nbrs: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        nbrs.setdefault(s, set()).add(d)
+        nbrs.setdefault(d, set()).add(s)
+    xs, ys = [], []
+    for u, ns in nbrs.items():
+        for v in ns:
+            xs.append(len(nbrs[u]))
+            ys.append(len(nbrs[v]))
+    want = float(np.corrcoef(xs, ys)[0, 1])
+    assert row["n_directed_pairs"] == len(xs)
+    assert row["assortativity"] == pytest.approx(want, abs=1e-9)
