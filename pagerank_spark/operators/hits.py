@@ -79,19 +79,38 @@ def hits(
             interval=checkpoint_interval)
 
     loop_width = e.rdd.getNumPartitions()
+    # Above the broadcast bound the two gathers become shuffle joins
+    # on DIFFERENT keys (src for the authority gather, dst for the
+    # hub gather) — one neutral cache would re-exchange |E| twice per
+    # iteration.  Build both layouts ONCE instead (the same
+    # exchange-the-|V|-side-only trade as the PageRank shuffle mode,
+    # paid in 2x cache footprint, amortized over every iteration).
+    extra = []
+    if n > BROADCAST_MAX_VERTICES:
+        e_src = e.repartition(loop_width, "src").persist()
+        e_dst = e.repartition(loop_width, "dst").persist()
+        e_src.count()
+        e_dst.count()
+        extra = [e_src, e_dst]
+    else:
+        e_src = e_dst = e
     try:
         with static_plan(spark, enabled=static_planning), \
                 sized_shuffle(spark, loop_width):
-            return _hits_loop(spark, e, n, tol, max_iter, checkpoint)
+            return _hits_loop(spark, e_src, e_dst, n, tol, max_iter,
+                              checkpoint)
     finally:
         e.unpersist()
+        for df in extra:
+            df.unpersist()
 
 
 def _maybe_broadcast(df: DataFrame, n: int) -> DataFrame:
     return F.broadcast(df) if n <= BROADCAST_MAX_VERTICES else df
 
 
-def _hits_loop(spark, e: DataFrame, n: int, tol: float, max_iter: int,
+def _hits_loop(spark, e_src: DataFrame, e_dst: DataFrame, n: int,
+               tol: float, max_iter: int,
                checkpoint: CheckpointManager) -> DataFrame:
     state = (
         spark.range(0, n)
@@ -104,7 +123,7 @@ def _hits_loop(spark, e: DataFrame, n: int, tol: float, max_iter: int,
         # Authority gather: a_un(v) = Σ h(u) over in-edges (u, v).
         hubs = state.select(F.col("id").alias("src"), "hub")
         a_un = (
-            e.join(_maybe_broadcast(hubs, n), "src")
+            e_src.join(_maybe_broadcast(hubs, n), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("hub").alias("a_un"))
         )
@@ -114,7 +133,7 @@ def _hits_loop(spark, e: DataFrame, n: int, tol: float, max_iter: int,
         a_side = a_un.select(F.col("id").alias("dst"),
                              F.col("a_un").alias("a_dst"))
         h_un = (
-            e.join(_maybe_broadcast(a_side, n), "dst")
+            e_dst.join(_maybe_broadcast(a_side, n), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("a_dst").alias("h_un"))
         )

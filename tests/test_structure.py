@@ -317,3 +317,29 @@ def test_assortativity_matches_numpy(spark):
     want = float(np.corrcoef(xs, ys)[0, 1])
     assert row["n_directed_pairs"] == len(xs)
     assert row["assortativity"] == pytest.approx(want, abs=1e-9)
+
+
+def test_hits_shuffle_mode_equals_broadcast(spark, monkeypatch):
+    # Force the dual-layout shuffle path (as if |V| exceeded the
+    # broadcast bound) and require bit-equal scores.
+    import importlib
+
+    # the package re-exports the hits FUNCTION, shadowing the
+    # submodule attribute — resolve the module explicitly
+    hits_mod = importlib.import_module("pagerank_spark.operators.hits")
+
+    rng = random.Random(41)
+    n = 25
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(80)})
+    df = edges_df(spark, edges)
+    want = {r["id"]: (r["hub"], r["auth"])
+            for r in hits_mod.hits(df, n=n, max_iter=6).collect()}
+    monkeypatch.setattr(hits_mod, "BROADCAST_MAX_VERTICES", 1)
+    got = {r["id"]: (r["hub"], r["auth"])
+           for r in hits_mod.hits(df, n=n, max_iter=6).collect()}
+    assert got.keys() == want.keys()
+    for v in want:
+        # different physical plan => different partial-sum order;
+        # agreement to last-ulp noise is the honest float contract
+        assert got[v][0] == pytest.approx(want[v][0], abs=1e-12)
+        assert got[v][1] == pytest.approx(want[v][1], abs=1e-12)
