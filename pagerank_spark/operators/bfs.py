@@ -42,6 +42,12 @@ from pyspark.sql import DataFrame, functions as F
 
 from pagerank_spark.checkpoint import CheckpointManager
 
+# Frontiers at or below this exact row count (known from the previous
+# round's aggregate) are broadcast; the first larger one triggers the
+# one-time src re-layout of the edge table.  Same bound class as the
+# PageRank gather's broadcast→shuffle flip.
+BROADCAST_MAX_FRONTIER = 5_000_000
+
 
 def bfs_depths(
     edges: DataFrame,
@@ -91,11 +97,6 @@ def bfs_depths(
 
 def _bfs_loop(und: DataFrame, sources: DataFrame, max_depth: int,
               checkpoint: CheckpointManager | None) -> DataFrame:
-    # Frontiers at or below this exact row count (known from the
-    # previous round's aggregate) are broadcast; the first larger one
-    # triggers the one-time src re-layout of the edge table.  Same
-    # bound class as the PageRank gather's broadcast→shuffle flip.
-    broadcast_max = 5_000_000
     depths = (
         sources.select(F.col("id").cast("bigint").alias("id"))
         .distinct()
@@ -108,7 +109,8 @@ def _bfs_loop(und: DataFrame, sources: DataFrame, max_depth: int,
     d = 0
     while d < max_depth:
         d += 1
-        small = frontier_rows is None or frontier_rows <= broadcast_max
+        small = (frontier_rows is None
+                 or frontier_rows <= BROADCAST_MAX_FRONTIER)
         if not small and not laid_out:
             # One-time on-demand re-layout: every later shuffle-join
             # round then moves only the frontier side.

@@ -343,3 +343,32 @@ def test_hits_shuffle_mode_equals_broadcast(spark, monkeypatch):
         # agreement to last-ulp noise is the honest float contract
         assert got[v][0] == pytest.approx(want[v][0], abs=1e-12)
         assert got[v][1] == pytest.approx(want[v][1], abs=1e-12)
+
+
+def test_bfs_and_sssp_relayout_path_equals_broadcast(spark, monkeypatch):
+    # Force the on-demand src re-layout (as if a frontier outgrew the
+    # broadcast bound) in BOTH traversals and require identical
+    # results — depths/dists are min-aggregates of exact values, so
+    # equality is exact, not approximate.
+    import importlib
+
+    import pagerank_spark.operators.bfs as bfs_mod
+    sssp_mod = importlib.import_module("pagerank_spark.operators.sssp")
+
+    rng = random.Random(43)
+    n = 30
+    raw = list({(rng.randrange(n), rng.randrange(n)) for _ in range(90)})
+    df = edges_df(spark, raw)
+    wdf = _wdf(spark, [(s, d, float((s + d) % 5 + 1)) for s, d in raw])
+
+    want_d = {r["id"]: r["depth"] for r in bfs_mod.bfs_depths(df, [0]).collect()}
+    want_s = {r["id"]: r["dist"]
+              for r in sssp_mod.shortest_paths(wdf, [0]).collect()}
+
+    monkeypatch.setattr(bfs_mod, "BROADCAST_MAX_FRONTIER", 0)
+    monkeypatch.setattr(sssp_mod, "BROADCAST_MAX_FRONTIER", 0)
+    got_d = {r["id"]: r["depth"] for r in bfs_mod.bfs_depths(df, [0]).collect()}
+    got_s = {r["id"]: r["dist"]
+             for r in sssp_mod.shortest_paths(wdf, [0]).collect()}
+    assert got_d == want_d
+    assert got_s == want_s
