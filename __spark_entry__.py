@@ -208,8 +208,8 @@ def q_pagerank_weighted_k3(spark, sf_dir):
                  F.col("o_custkey").alias("dst"))
         .agg(F.count(F.lit(1)).cast("double").alias("weight"))
     )
-    ranks = weighted_pagerank(ew, max_iter=3)
-    return ranks.select("id", F.round("pr", 9).alias("pr"))
+    res = weighted_pagerank(ew, max_iter=3)
+    return res.ranks.select("id", F.round("pr", 9).alias("pr"))
 
 
 def q_ppr_k3(spark, sf_dir):

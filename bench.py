@@ -84,7 +84,8 @@ def main() -> None:
           lambda: personalized_pagerank(g, [1], max_iter=20).ranks.count())
     timed("pagerank_weighted_k20",
           lambda: weighted_pagerank(
-              g.edges.withColumn("weight", F.lit(1.0)), max_iter=20).count())
+              g.edges.withColumn("weight", F.lit(1.0)),
+              max_iter=20).ranks.count())
     timed("hits_k8", lambda: hits(g.edges, n=g.n, max_iter=8).count())
     timed("sssp",
           lambda: shortest_paths(

@@ -124,7 +124,7 @@ def main() -> None:
     if "wpr" in algos:
         def _wpr():
             r = weighted_pagerank(weighted_edges(), max_iter=args.max_iter)
-            top = r.orderBy(F.desc("pr"), F.asc("id")).first()
+            top = r.ranks.orderBy(F.desc("pr"), F.asc("id")).first()
             return {"top_id": top["id"], "top_pr": top["pr"]}
         run("wpr", _wpr)
     if "lcc" in algos:

@@ -13,11 +13,24 @@ shape, mutually-recursive instead of self-recursive):
 Both normalizations fold into ONE scalar collect per iteration: the
 hub update is linear, so normalizing ``a_un`` before or after the hub
 gather differs only by the scalar ``||a_un||₂``, which cancels inside
-``h_un / ||h_un||₂``.  Each iteration is therefore two broadcast-join
-gathers over the cached edge table plus a single constant-size
-aggregate — the same per-iteration shuffle profile as the PageRank
-loop (the |E| side never moves; only the two |V|-row score tables
-exchange for their partial aggs).
+``h_un / ||h_un||₂``.  Each iteration is therefore two gathers over
+the cached edge table plus a single constant-size aggregate — the
+same per-iteration shuffle profile as the PageRank loop (the |E| side
+never moves; only the two |V|-row score tables exchange for their
+partial aggs).
+
+Physical strategy: each gather runs through the SHARED
+``pagerank.plan_gather``, once over the forward edge table keyed by
+``src`` (authority gather, probed against OUT-degrees) and once over
+the reversed table keyed by the original ``dst`` (hub gather, probed
+against IN-degrees).  Below the broadcast bound both plans are
+zero-|E|-shuffle broadcast joins over one shared cache; above it each
+plan lays out its own copy ONCE (the dual-layout trade: 2x cache
+footprint, amortized over every iteration) — and because the loop
+runs with AQE suspended, the degree probe's hub-salting is the only
+skew defence it gets, upgrading either side independently (a web
+graph's in-degree skew is usually much worse than its out-degree
+skew).
 
 Init: h = 1 for every vertex in the dense domain [0, N) (the usual
 HITS start); vertices with no in-/out-edges settle at score 0 after
@@ -33,6 +46,7 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 from pagerank_spark.checkpoint import CheckpointManager
+from pagerank_spark.operators.pagerank import plan_gather
 
 # Broadcast the |V|-row score side below this many vertices — same
 # threshold/rationale as operators/pagerank.py gather_mode="auto".
@@ -79,37 +93,33 @@ def hits(
             interval=checkpoint_interval)
 
     loop_width = e.rdd.getNumPartitions()
-    # Above the broadcast bound the two gathers become shuffle joins
-    # on DIFFERENT keys (src for the authority gather, dst for the
-    # hub gather) — one neutral cache would re-exchange |E| twice per
-    # iteration.  Build both layouts ONCE instead (the same
-    # exchange-the-|V|-side-only trade as the PageRank shuffle mode,
-    # paid in 2x cache footprint, amortized over every iteration).
-    extra = []
-    if n > BROADCAST_MAX_VERTICES:
-        e_src = e.repartition(loop_width, "src").persist()
-        e_dst = e.repartition(loop_width, "dst").persist()
-        e_src.count()
-        e_dst.count()
-        extra = [e_src, e_dst]
-    else:
-        e_src = e_dst = e
+    # Two gather plans over the SAME cached dedupe, keyed by opposite
+    # endpoints.  The reversed frame is a zero-cost projection of the
+    # cache below the broadcast bound; above it each plan builds (and
+    # owns) its one-time layout — src-keyed for the authority gather,
+    # original-dst-keyed for the hub gather — probed against out- and
+    # in-degrees respectively (module docstring).
+    e_rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    fwd = plan_gather(
+        e, e.groupBy(F.col("src").alias("id"))
+            .agg(F.count(F.lit(1)).alias("out_deg")),
+        n, broadcast_max_vertices=BROADCAST_MAX_VERTICES)
+    rev = plan_gather(
+        e_rev, e.groupBy(F.col("dst").alias("id"))
+               .agg(F.count(F.lit(1)).alias("out_deg")),
+        n, broadcast_max_vertices=BROADCAST_MAX_VERTICES)
     try:
         with static_plan(spark, enabled=static_planning), \
                 sized_shuffle(spark, loop_width):
-            return _hits_loop(spark, e_src, e_dst, n, tol, max_iter,
+            return _hits_loop(spark, fwd, rev, n, tol, max_iter,
                               checkpoint)
     finally:
+        fwd.release()
+        rev.release()
         e.unpersist()
-        for df in extra:
-            df.unpersist()
 
 
-def _maybe_broadcast(df: DataFrame, n: int) -> DataFrame:
-    return F.broadcast(df) if n <= BROADCAST_MAX_VERTICES else df
-
-
-def _hits_loop(spark, e_src: DataFrame, e_dst: DataFrame, n: int,
+def _hits_loop(spark, fwd, rev, n: int,
                tol: float, max_iter: int,
                checkpoint: CheckpointManager) -> DataFrame:
     state = (
@@ -121,21 +131,21 @@ def _hits_loop(spark, e_src: DataFrame, e_dst: DataFrame, n: int,
     while it < max_iter:
         it += 1
         # Authority gather: a_un(v) = Σ h(u) over in-edges (u, v).
-        hubs = state.select(F.col("id").alias("src"), "hub")
+        hubs = state.select(F.col("id").alias("src"),
+                            F.col("hub").alias("w"))
         a_un = (
-            e_src.join(_maybe_broadcast(hubs, n), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("hub").alias("a_un"))
+            fwd.gather(hubs)
+            .select(F.col("dst").alias("id"), F.col("contrib").alias("a_un"))
         )
-        # Hub gather: h_un(v) = Σ a_un(w) over out-edges (v, w) —
-        # unnormalized authorities; ||a_un||₂ cancels in h's own
-        # normalize (module docstring).
-        a_side = a_un.select(F.col("id").alias("dst"),
-                             F.col("a_un").alias("a_dst"))
+        # Hub gather: h_un(v) = Σ a_un(w) over out-edges (v, w) — a
+        # gather over the REVERSED edge table; unnormalized
+        # authorities, ||a_un||₂ cancels in h's own normalize (module
+        # docstring).
+        a_side = a_un.select(F.col("id").alias("src"),
+                             F.col("a_un").alias("w"))
         h_un = (
-            e_dst.join(_maybe_broadcast(a_side, n), "dst")
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.sum("a_dst").alias("h_un"))
+            rev.gather(a_side)
+            .select(F.col("dst").alias("id"), F.col("contrib").alias("h_un"))
         )
         raw = (
             state
@@ -147,8 +157,10 @@ def _hits_loop(spark, e_src: DataFrame, e_dst: DataFrame, n: int,
                 F.coalesce(F.col("h_un"), F.lit(0.0)).alias("h_un"),
             )
         )
+        raw_cached = None
         if checkpoint.should_checkpoint(it):
             raw = checkpoint.write_state(raw, it).persist()
+            raw_cached = raw
         else:
             raw = raw.localCheckpoint(eager=False)
         # ONE constant-size collect: both L2 norms in a single agg.
@@ -164,6 +176,9 @@ def _hits_loop(spark, e_src: DataFrame, e_dst: DataFrame, n: int,
             state.unpersist()
             state = raw.select("id", F.lit(0.0).alias("hub"),
                                F.lit(0.0).alias("auth")).persist()
+            if raw_cached is not None:
+                state.count()
+                raw_cached.unpersist()
             break
         new_state = raw.select(
             "id",
@@ -184,6 +199,14 @@ def _hits_loop(spark, e_src: DataFrame, e_dst: DataFrame, n: int,
             l1 = None
         state.unpersist()
         state = new_state.select("id", "hub", "auth").persist()
+        if raw_cached is not None:
+            # Release the checkpoint-iteration cache once the new state
+            # replaces it (its plan re-reads the durable parquet, so
+            # dropping the cache never recomputes the gathers) —
+            # otherwise one |V|-row cached table accumulates per
+            # cadence hit and survives after hits() returns.
+            state.count()
+            raw_cached.unpersist()
         if l1 is not None and l1 < tol:
             break
     return state.select("id", "hub", "auth")

@@ -100,17 +100,117 @@ def _rank_weights(state: DataFrame) -> DataFrame:
 
 
 def _gather(graph_edges: DataFrame, ranks_w: DataFrame, mode: str,
-            salted_ctx: tuple | None) -> DataFrame:
-    """(dst, contrib = Σ w[src]) over in-edges."""
+            salted_ctx: tuple | None, value=None) -> DataFrame:
+    """(dst, contrib = Σ value over in-edges); ``value`` defaults to
+    the rank side's ``w`` column (weighted gathers pass ``w * f``)."""
     if mode == "salted" and salted_ctx is not None:
         salted_edges, hot, num_salts = salted_ctx
-        return skew.salted_gather(salted_edges, ranks_w, hot, num_salts)
+        return skew.salted_gather(salted_edges, ranks_w, hot, num_salts,
+                                  value)
     joined = (
         graph_edges.join(F.broadcast(ranks_w), "src")
         if mode == "broadcast"
         else graph_edges.join(ranks_w, "src")
     )
-    return joined.groupBy("dst").agg(F.sum("w").alias("contrib"))
+    value = F.col("w") if value is None else value
+    return joined.groupBy("dst").agg(F.sum(value).alias("contrib"))
+
+
+@dataclass
+class GatherPlan:
+    """A resolved physical gather strategy, shared by EVERY iterative
+    matvec loop in the suite (global/personalized/weighted PageRank,
+    both HITS gathers).
+
+    Resolving once and reusing per iteration is what makes the loops
+    scale: the |E|-side layout (src re-partition in shuffle mode,
+    (src, salt) re-partition + hot-set in salted mode) is built ONE
+    time and amortized over O(100) iterations, and because the loops
+    run under ``session.static_plan`` (AQE suspended), the degree-probe
+    salting here is the ONLY skew defence they get — a plain shuffled
+    join would straggle every iteration on a power-law hub with no
+    runtime backstop (VERDICT r3 item 1).
+    """
+
+    mode: str                   # broadcast | shuffle | salted
+    edges: DataFrame            # the layout _gather consumes
+    salted_ctx: tuple | None = None   # (salted_edges, hot, num_salts)
+    salt_threshold: int | None = None
+    _caches: list = field(default_factory=list)
+
+    def gather(self, ranks_w: DataFrame, value=None) -> DataFrame:
+        """(dst, contrib = Σ value) — ranks_w carries (src, w, ...)."""
+        return _gather(self.edges, ranks_w, self.mode, self.salted_ctx,
+                       value)
+
+    def release(self) -> None:
+        """Release the loop-scoped |E|-sized caches (shuffle-relaid
+        edges, salted edges, hot set) — results derive only from the
+        |V|-row state table, so repeated operator calls must not
+        accumulate edge-table copies in executor storage."""
+        for df in self._caches:
+            df.unpersist()
+        self._caches.clear()
+
+
+def plan_gather(
+    edges: DataFrame,
+    out_deg: DataFrame,
+    n: int,
+    mode: str = "auto",
+    salt_threshold: int | None = None,
+    num_salts: int = 8,
+    broadcast_max_vertices: int = BROADCAST_MAX_VERTICES,
+) -> GatherPlan:
+    """Resolve the physical gather from the DATA (mode="auto"):
+    broadcast while the |V|-row rank side fits (skew-immune — edge
+    rows never move), else probe the degree distribution and pick
+    shuffled vs hub-salted join (``_probe_salting``).  An explicit
+    ``salt_threshold`` forces salted mode regardless.
+
+    ``out_deg`` is the (id, out_deg) table of the gather's JOIN KEY
+    side — pass in-degrees when gathering over a reversed edge table
+    (HITS' hub gather).
+
+    Layout cost (one-time, amortized over the loop):
+      broadcast — none: the caller's layout already serves the
+        groupBy(dst) and the join needs no exchange at all.
+      shuffle   — one |E| re-partition by ``src`` so per iteration
+        only the |V|-row rank side moves.
+      salted    — one |E| salt + re-partition by (src, salt), plus the
+        broadcast-sized hot set.
+    """
+    caches: list[DataFrame] = []
+    if mode == "auto":
+        if salt_threshold is not None:
+            mode = "salted"      # explicit threshold wins
+        elif n <= broadcast_max_vertices:
+            mode = "broadcast"
+        else:
+            mode, salt_threshold = _probe_salting(edges, out_deg)
+
+    salted_ctx = None
+    if salt_threshold is not None:
+        mode = "salted"
+        hot = skew.hot_vertices(out_deg, salt_threshold).persist()
+        salted_edges = (
+            skew.salt_edges(edges, hot, num_salts)
+            .repartition(edges.rdd.getNumPartitions(), "src", "salt")
+            .persist()
+        )
+        salted_edges.count()
+        caches += [salted_edges, hot]
+        salted_ctx = (salted_edges, hot, num_salts)
+
+    gather_edges = edges
+    if mode == "shuffle":
+        gather_edges = edges.repartition(
+            edges.rdd.getNumPartitions(), "src").persist()
+        gather_edges.count()
+        caches.append(gather_edges)
+
+    return GatherPlan(mode=mode, edges=gather_edges, salted_ctx=salted_ctx,
+                      salt_threshold=salt_threshold, _caches=caches)
 
 
 def pagerank(
@@ -193,48 +293,20 @@ def _pagerank_loop(
             spark, tempfile.mkdtemp(prefix="pagerank_ckpt_"),
             interval=checkpoint_interval)
 
-    if gather_mode == "auto":
-        if salt_threshold is not None:
-            gather_mode = "salted"  # explicit threshold wins
-        elif n <= broadcast_max_vertices:
-            # Broadcast gather is skew-immune: edge rows never move,
-            # so a hub's out-edges stay spread across partitions.
-            gather_mode = "broadcast"
-        else:
-            gather_mode, salt_threshold = _auto_shuffle_or_salted(graph)
-
     # Mode-aware edge layout (one-time cost, amortized over O(100)
-    # iterations).  The persisted graph is dst-partitioned — optimal for
-    # the BROADCAST gather (join needs no exchange, groupBy(dst) reuses
-    # the layout: a zero-shuffle iteration).  The SHUFFLE gather joins
-    # on ``src``: with dst-partitioned edges the whole |E| table would
-    # re-exchange EVERY iteration.  Re-layout by the join key once into
-    # the SQL cache — InMemoryRelation preserves outputPartitioning
-    # even under AQE (localCheckpoint does NOT: an adaptive plan
-    # reports UnknownPartitioning at checkpoint time), so per iteration
-    # only the |V|-row rank side shuffles to match, plus the partial
+    # iterations) — resolved by the shared plan_gather: the persisted
+    # graph is dst-partitioned, optimal for the BROADCAST gather (join
+    # needs no exchange, groupBy(dst) reuses the layout: a zero-shuffle
+    # iteration); the SHUFFLE gather re-lays by ``src`` once into the
+    # SQL cache — InMemoryRelation preserves outputPartitioning even
+    # under AQE (localCheckpoint does NOT: an adaptive plan reports
+    # UnknownPartitioning at checkpoint time), so per iteration only
+    # the |V|-row rank side shuffles to match, plus the partial
     # aggregates (bounded by |distinct dst| per partition, not |E|).
-    # Plan shape asserted in tests/test_plans.py.  The salted override
-    # is resolved FIRST so a salted run never builds (and caches) a
-    # shuffle layout it will not use; all loop-scoped caches are
-    # released in _release_gather_caches before returning.
-    salted_ctx = None
-    if salt_threshold is not None:
-        gather_mode = "salted"
-        hot = skew.hot_vertices(graph.out_deg, salt_threshold).persist()
-        salted_edges = (
-            skew.salt_edges(graph.edges, hot, num_salts)
-            .repartition(graph.edges.rdd.getNumPartitions(), "src", "salt")
-            .persist()
-        )
-        salted_edges.count()
-        salted_ctx = (salted_edges, hot, num_salts)
-
-    gather_edges = graph.edges
-    if gather_mode == "shuffle":
-        gather_edges = graph.edges.repartition(
-            graph.edges.rdd.getNumPartitions(), "src").persist()
-        gather_edges.count()
+    # Plan shape asserted in tests/test_plans.py.
+    plan = plan_gather(graph.edges, graph.out_deg, n, mode=gather_mode,
+                       salt_threshold=salt_threshold, num_salts=num_salts,
+                       broadcast_max_vertices=broadcast_max_vertices)
 
     # Per-iteration exchanges (the |V|-row state join + the scalar
     # aggregate) are sized to the LOOP's tables, not the session's
@@ -243,7 +315,7 @@ def _pagerank_loop(
     # ceil(n / STATE_ROWS_PER_PARTITION) useful tasks.  At web scale
     # the session width is smaller than either bound and sized_shuffle
     # is a no-op (see session.sized_shuffle for the measurements).
-    loop_width = max(gather_edges.rdd.getNumPartitions(),
+    loop_width = max(plan.edges.rdd.getNumPartitions(),
                      n // STATE_ROWS_PER_PARTITION + 1)
 
     # Everything from here runs under try/finally: the |E|-sized
@@ -256,31 +328,37 @@ def _pagerank_loop(
         with sized_shuffle(spark, loop_width):
             return _run_iterations(
                 graph, spark, n, damping, tol, max_iter, stop_rule,
-                checkpoint, gather_mode, resume, gather_edges, salted_ctx)
+                checkpoint, resume, plan)
     finally:
-        _release_gather_caches(gather_mode, gather_edges, salted_ctx)
+        plan.release()
 
 
-def _auto_shuffle_or_salted(graph: Graph) -> tuple[str, int | None]:
-    """Pick shuffle vs salted for the non-broadcast gather from the
-    out-degree distribution: one constant-size aggregate over the
+def _probe_salting(edges: DataFrame, out_deg: DataFrame) -> tuple[str, int | None]:
+    """Pick shuffle vs salted for a non-broadcast gather from the
+    degree distribution: one constant-size aggregate over the
     persisted |V|-row degree table (same cost class as a per-iteration
-    scalar collect).  A hub src whose out-degree exceeds
+    scalar collect).  A hub key whose degree exceeds
     AUTO_SALT_PARTITION_FRACTION of the average per-partition edge
     share concentrates that many co-keyed rows in ONE task of the
     shuffled join — the power-law straggler salting exists to kill.
     Returns (mode, salt_threshold)."""
-    row = graph.out_deg.agg(
+    row = out_deg.agg(
         F.max("out_deg").alias("max_deg"),
         F.sum("out_deg").alias("n_edges")).first()
     if row is None or row["max_deg"] is None:
         return "shuffle", None
-    parts = max(graph.edges.rdd.getNumPartitions(), 1)
+    parts = max(edges.rdd.getNumPartitions(), 1)
     hub_threshold = max(
         int(AUTO_SALT_PARTITION_FRACTION * int(row["n_edges"]) / parts), 1)
     if int(row["max_deg"]) > hub_threshold:
         return "salted", hub_threshold
     return "shuffle", None
+
+
+def _auto_shuffle_or_salted(graph: Graph) -> tuple[str, int | None]:
+    """Graph-object face of :func:`_probe_salting` (kept for tests and
+    callers holding a prepared Graph)."""
+    return _probe_salting(graph.edges, graph.out_deg)
 
 
 def _run_iterations(
@@ -292,10 +370,8 @@ def _run_iterations(
     max_iter: int,
     stop_rule: str,
     checkpoint: CheckpointManager | None,
-    gather_mode: str,
     resume: bool,
-    gather_edges: DataFrame,
-    salted_ctx: tuple | None,
+    plan: GatherPlan,
 ) -> PageRankResult:
     # State: (id, pr, prev_pr, out_deg NULL⇔dangling).  Carrying out_deg
     # in the state avoids a per-iteration anti-join for the dangling
@@ -338,7 +414,7 @@ def _run_iterations(
         it += 1
         t0 = time.monotonic()
 
-        contribs = _gather(gather_edges, _rank_weights(state), gather_mode, salted_ctx)
+        contribs = plan.gather(_rank_weights(state))
         new_pr = (
             (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling * inv_n))
             * F.lit(damping) + F.lit((1.0 - damping) * inv_n)
@@ -387,25 +463,14 @@ def _run_iterations(
                    metrics, stopped)
 
 
-def _release_gather_caches(gather_mode: str, gather_edges: DataFrame,
-                           salted_ctx: tuple | None) -> None:
-    """Release the loop-scoped |E|-sized caches (shuffle relaid edges,
-    salted edges, hot set) — the result frames derive only from the
-    state table, so repeated pagerank() calls must not accumulate
-    edge-table copies in executor storage."""
-    if gather_mode == "shuffle":
-        gather_edges.unpersist()
-    if salted_ctx is not None:
-        salted_edges, hot, _ = salted_ctx
-        salted_edges.unpersist()
-        hot.unpersist()
-
-
-def _state_agg(state: DataFrame) -> dict:
-    """One collect: L1 delta, dangling mass of the new vector, Σpr."""
+def _state_agg(state: DataFrame, dangling_col: str = "out_deg") -> dict:
+    """One collect: L1 delta, dangling mass of the new vector, Σpr.
+    ``dangling_col`` is whichever state column is NULL exactly on the
+    vertices with no out-edges (``out_deg`` for the unweighted loops,
+    ``strength`` for the weighted one)."""
     row = state.agg(
         F.sum(F.abs(F.col("pr") - F.col("prev_pr"))).alias("l1"),
-        F.sum(F.when(F.col("out_deg").isNull(), F.col("pr"))
+        F.sum(F.when(F.col(dangling_col).isNull(), F.col("pr"))
               .otherwise(F.lit(0.0))).alias("dangling"),
         F.sum("pr").alias("sum_pr"),
     ).first()

@@ -17,13 +17,16 @@ uniformly), so the walk never leaks probability away from the
 personalization; at convergence sum(pr) -> 1.
 
 Physical strategy: identical to the global operator — the per-step
-sparse matvec is `operators.pagerank._gather` (broadcast under
-``BROADCAST_MAX_VERTICES``, shuffled hash join above), one scalar
-collect per iteration (L1 + dangling + sum(pr) in a single aggregate),
-lineage truncated by the shared checkpoint cadence, loop-scoped
-shuffle sizing.  The only delta is the per-vertex ``restart`` column
-carried in the state table, which replaces the two 1/N constants in
-the affine update.
+sparse matvec runs through the SHARED ``pagerank.plan_gather``
+(broadcast under ``BROADCAST_MAX_VERTICES``; above it, the degree
+probe picks shuffled vs hub-salted join, so a power-law hub cannot
+straggle the loop while AQE is suspended), one scalar collect per
+iteration (L1 + dangling + sum(pr) in a single aggregate), lineage
+truncated by the shared checkpoint cadence, loop-scoped shuffle
+sizing, and kill/resume through the same CheckpointManager contract.
+The only delta is the per-vertex ``restart`` column carried in the
+state table, which replaces the two 1/N constants in the affine
+update.
 """
 
 from __future__ import annotations
@@ -38,10 +41,11 @@ from pagerank_spark.operators.pagerank import (
     BROADCAST_MAX_VERTICES,
     DAMPING,
     STATE_ROWS_PER_PARTITION,
+    GatherPlan,
     PageRankResult,
-    _gather,
     _rank_weights,
     _state_agg,
+    plan_gather,
 )
 
 
@@ -53,7 +57,12 @@ def personalized_pagerank(
     max_iter: int = 500,
     checkpoint: CheckpointManager | None = None,
     checkpoint_interval: int = 8,
+    gather_mode: str = "auto",
+    salt_threshold: int | None = None,
+    num_salts: int = 8,
+    resume: bool = False,
     static_planning: bool = True,
+    broadcast_max_vertices: int = BROADCAST_MAX_VERTICES,
 ) -> PageRankResult:
     """Run personalized PageRank to L1 convergence (or ``max_iter``).
 
@@ -62,7 +71,9 @@ def personalized_pagerank(
     the same :class:`PageRankResult` as the global operator (both
     ``ranks``/``converged_ranks`` hold the last computed iterate: the
     reference's pre-swap quirk Q4 is a global-PageRank parity detail,
-    not part of PPR's contract).
+    not part of PPR's contract).  ``gather_mode``/``salt_threshold``/
+    ``num_salts``/``resume`` have the global operator's semantics
+    (shared :func:`pagerank.plan_gather` / checkpoint contract).
     """
     from pagerank_spark.session import sized_shuffle, static_plan
 
@@ -81,25 +92,18 @@ def personalized_pagerank(
             spark, tempfile.mkdtemp(prefix="ppr_ckpt_"),
             interval=checkpoint_interval)
 
-    gather_mode = "broadcast" if n <= BROADCAST_MAX_VERTICES else "shuffle"
-    # Shuffle mode re-lays the edge table by the join key ONCE (same
-    # rationale as the global operator: with the shared dst layout the
-    # whole |E| side would re-exchange every iteration).
-    gather_edges = graph.edges
-    if gather_mode == "shuffle":
-        gather_edges = graph.edges.repartition(
-            graph.edges.rdd.getNumPartitions(), "src").persist()
-        gather_edges.count()
-    loop_width = max(gather_edges.rdd.getNumPartitions(),
+    plan = plan_gather(graph.edges, graph.out_deg, n, mode=gather_mode,
+                       salt_threshold=salt_threshold, num_salts=num_salts,
+                       broadcast_max_vertices=broadcast_max_vertices)
+    loop_width = max(plan.edges.rdd.getNumPartitions(),
                      n // STATE_ROWS_PER_PARTITION + 1)
     try:
         with static_plan(spark, enabled=static_planning), \
                 sized_shuffle(spark, loop_width):
             return _ppr_loop(graph, sources, damping, tol, max_iter,
-                             checkpoint, gather_mode, gather_edges)
+                             checkpoint, resume, plan)
     finally:
-        if gather_mode == "shuffle":
-            gather_edges.unpersist()
+        plan.release()
 
 
 def _ppr_loop(
@@ -109,42 +113,58 @@ def _ppr_loop(
     tol: float,
     max_iter: int,
     checkpoint: CheckpointManager,
-    gather_mode: str,
-    gather_edges: DataFrame,
+    resume: bool,
+    plan: GatherPlan,
 ) -> PageRankResult:
     spark = graph.spark
     n = graph.n
-    src_set = (
-        sources.select(F.col("id").cast("bigint").alias("id"))
-        .distinct()
-        .withColumn("_s", F.lit(1.0))
-    )
-    n_sources = src_set.count()
-    if n_sources == 0:
-        raise ValueError("personalized_pagerank needs a non-empty source set")
-    restart_w = 1.0 / n_sources
-
-    # State: (id, pr, prev_pr, out_deg, restart) — the restart column
-    # replaces both 1/N constants of the global update.
-    state = (
-        spark.range(0, n)
-        .join(graph.out_deg, "id", "left")
-        .join(F.broadcast(src_set), "id", "left")
-        .select("id", F.lit(0.0).alias("pr"), F.lit(0.0).alias("prev_pr"),
-                "out_deg",
-                (F.coalesce(F.col("_s"), F.lit(0.0)) * restart_w)
-                .alias("restart"))
-        .persist()
-    )
-
     it = 0
     dangling = 0.0
     metrics: list[dict] = []
+
+    if resume and checkpoint.latest_iteration() is not None:
+        # The checkpointed state carries the restart column, so resume
+        # needs no re-derivation from the source set; the resume-time
+        # stop check recomputes (l1, dangling) from the same (pr,
+        # prev_pr) pair the original run aggregated at iteration ``it``.
+        it = checkpoint.latest_iteration()
+        state = checkpoint.read_state(it).persist()
+        agg = _state_agg(state)
+        dangling = agg["dangling"]
+        if agg["l1"] < tol:
+            ranks = state.select("id", "pr")
+            return PageRankResult(ranks=ranks, converged_ranks=ranks,
+                                  iterations=it, final_l1=agg["l1"],
+                                  metrics=metrics)
+    else:
+        src_set = (
+            sources.select(F.col("id").cast("bigint").alias("id"))
+            .distinct()
+            .withColumn("_s", F.lit(1.0))
+        )
+        n_sources = src_set.count()
+        if n_sources == 0:
+            raise ValueError(
+                "personalized_pagerank needs a non-empty source set")
+        restart_w = 1.0 / n_sources
+
+        # State: (id, pr, prev_pr, out_deg, restart) — the restart
+        # column replaces both 1/N constants of the global update.
+        state = (
+            spark.range(0, n)
+            .join(graph.out_deg, "id", "left")
+            .join(F.broadcast(src_set), "id", "left")
+            .select("id", F.lit(0.0).alias("pr"),
+                    F.lit(0.0).alias("prev_pr"), "out_deg",
+                    (F.coalesce(F.col("_s"), F.lit(0.0)) * restart_w)
+                    .alias("restart"))
+            .persist()
+        )
+
     stopped = False
     while it < max_iter:
         it += 1
-        contribs = _gather(gather_edges, _rank_weights(state),
-                           gather_mode, None)
+        contribs = plan.gather(_rank_weights(state))
         # p = d*(gather + dangling*restart) + (1-d)*restart
         new_pr = (
             (F.coalesce(F.col("contrib"), F.lit(0.0))

@@ -70,14 +70,21 @@ def salt_rank_side(ranks_w: DataFrame, hot: DataFrame, num_salts: int) -> DataFr
 
 
 def salted_gather(salted_edges: DataFrame, ranks_w: DataFrame,
-                  hot: DataFrame, num_salts: int) -> DataFrame:
-    """Gather Σ w[src] per dst over a pre-salted edge table.
+                  hot: DataFrame, num_salts: int,
+                  value=None) -> DataFrame:
+    """Gather Σ value per dst over a pre-salted edge table.
 
-    ``ranks_w``: (src, w).  Returns (dst, contrib).
+    ``ranks_w``: (src, w, ...).  Returns (dst, contrib).  ``value``
+    defaults to the rank side's ``w`` column; a weighted gather passes
+    an expression over joined columns (e.g. ``w * f`` where ``f`` is
+    the edge table's precomputed split fraction) — the salted join is
+    numerically identical either way because salting only re-keys
+    rows, never changes which (edge, rank) pairs meet.
     """
     r = salt_rank_side(ranks_w, hot, num_salts)
+    value = F.col("w") if value is None else value
     return (
         salted_edges.join(r, ["src", "salt"])
         .groupBy("dst")
-        .agg(F.sum("w").alias("contrib"))
+        .agg(F.sum(value).alias("contrib"))
     )

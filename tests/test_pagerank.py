@@ -272,7 +272,7 @@ def test_weighted_matches_numpy_oracle(spark):
     edges = [(rng.randrange(30), rng.randrange(30), float(rng.randrange(1, 6)))
              for _ in range(90)]
     df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT, weight DOUBLE")
-    got = _ranks_dict(weighted_pagerank(df, tol=1e-10))
+    got = _ranks_dict(weighted_pagerank(df, tol=1e-10).ranks)
     want, _, _ = weighted_pagerank_oracle(edges, tol=1e-10)
     assert np.allclose([got[i] for i in range(len(want))], want, atol=1e-9)
 
@@ -284,7 +284,7 @@ def test_weighted_uniform_equals_unweighted(spark):
 
     df = edges_df(spark, F2_EDGES).withColumn("weight", F.lit(1.0))
     got = _ranks_dict(weighted_pagerank(df.dropDuplicates(["src", "dst"]),
-                                        tol=1e-12))
+                                        tol=1e-12).ranks)
     g = graph.prepare(edges_df(spark, F2_EDGES))
     want = _ranks_dict(pagerank(g, tol=1e-12).converged_ranks)
     assert np.allclose([got[i] for i in range(g.n)],
@@ -302,6 +302,75 @@ def test_weighted_parallel_edges_sum(spark):
     one = spark.createDataFrame(
         [(0, 1, 3.0), (0, 2, 3.0), (1, 2, 1.0), (2, 0, 1.0)],
         "src BIGINT, dst BIGINT, weight DOUBLE")
-    a = _ranks_dict(weighted_pagerank(dup, tol=1e-12))
-    b = _ranks_dict(weighted_pagerank(one, tol=1e-12))
+    a = _ranks_dict(weighted_pagerank(dup, tol=1e-12).ranks)
+    b = _ranks_dict(weighted_pagerank(one, tol=1e-12).ranks)
     assert a == b
+
+
+def test_ppr_checkpoint_resume_bit_identical(spark, tmp_path):
+    # Mirror of test_checkpoint_resume_bit_identical for the PPR loop:
+    # interrupt at iteration 8, resume to 18, compare bit-for-bit with
+    # the uninterrupted run (the checkpointed state carries the restart
+    # column, so resume never re-derives the source set).
+    from pagerank_spark.operators.ppr import personalized_pagerank
+
+    g = graph.prepare(edges_df(spark, F2_EDGES))
+
+    full_ck = CheckpointManager(spark, str(tmp_path / "pfull"), interval=1)
+    full = personalized_pagerank(g, [0], tol=1e-10, max_iter=18,
+                                 checkpoint=full_ck)
+
+    part_ck = CheckpointManager(spark, str(tmp_path / "ppart"), interval=1)
+    personalized_pagerank(g, [0], tol=1e-10, max_iter=8, checkpoint=part_ck)
+    assert part_ck.latest_iteration() == 8
+    resumed = personalized_pagerank(g, [0], tol=1e-10, max_iter=18,
+                                    checkpoint=part_ck, resume=True)
+
+    assert resumed.iterations == full.iterations == 18
+    assert _ranks_dict(full.ranks) == _ranks_dict(resumed.ranks)
+    assert part_ck.committed_iterations() == list(range(1, 19))
+
+
+def test_ppr_resume_converged_returns_immediately(spark, tmp_path):
+    from pagerank_spark.operators.ppr import personalized_pagerank
+
+    g = graph.prepare(edges_df(spark, F2_EDGES))
+    ck = CheckpointManager(spark, str(tmp_path / "pc"), interval=1)
+    done = personalized_pagerank(g, [0], tol=1e-8, checkpoint=ck)
+    again = personalized_pagerank(g, [0], tol=1e-8, checkpoint=ck,
+                                  resume=True)
+    assert again.iterations == done.iterations
+    assert _ranks_dict(again.ranks) == _ranks_dict(done.ranks)
+
+
+def test_weighted_checkpoint_resume_bit_identical(spark, tmp_path):
+    from pagerank_spark.operators.weighted import weighted_pagerank
+
+    ew = edges_df(spark, F2_EDGES).withColumn(
+        "weight", (F.col("dst") % 4 + 1).cast("double"))
+
+    full_ck = CheckpointManager(spark, str(tmp_path / "wfull"), interval=1)
+    full = weighted_pagerank(ew, tol=1e-10, max_iter=18, checkpoint=full_ck)
+
+    part_ck = CheckpointManager(spark, str(tmp_path / "wpart"), interval=1)
+    weighted_pagerank(ew, tol=1e-10, max_iter=8, checkpoint=part_ck)
+    assert part_ck.latest_iteration() == 8
+    resumed = weighted_pagerank(ew, tol=1e-10, max_iter=18,
+                                checkpoint=part_ck, resume=True)
+
+    assert resumed.iterations == full.iterations == 18
+    assert _ranks_dict(full.ranks) == _ranks_dict(resumed.ranks)
+    assert part_ck.committed_iterations() == list(range(1, 19))
+    # metrics carry the shared schema (l1 / dangling_mass / sum_pr)
+    assert part_ck.read_metric(18, "sum_pr") is not None
+
+
+def test_weighted_result_metrics_and_iterations(spark):
+    from pagerank_spark.operators.weighted import weighted_pagerank
+
+    ew = edges_df(spark, F2_EDGES).withColumn("weight", F.lit(1.0))
+    res = weighted_pagerank(ew, max_iter=5)
+    assert res.iterations == 5
+    assert len(res.metrics) == 5
+    assert res.metrics[-1]["l1"] == res.final_l1
+    assert _ranks_dict(res.ranks) == _ranks_dict(res.converged_ranks)

@@ -102,3 +102,78 @@ def test_pagerank_salted_equals_unsalted(spark, hub_graph):
     assert set(a) == set(b)
     for k in a:
         assert a[k] == pytest.approx(b[k], abs=1e-12)
+
+
+def _spy_modes(monkeypatch, module):
+    """Record the gather mode every plan_gather call in ``module``
+    resolves to (the operators import plan_gather by name)."""
+    import importlib
+
+    pr_mod = importlib.import_module("pagerank_spark.operators.pagerank")
+    modes = []
+    orig = pr_mod.plan_gather
+
+    def wrapper(*a, **kw):
+        plan = orig(*a, **kw)
+        modes.append(plan.mode)
+        return plan
+
+    monkeypatch.setattr(module, "plan_gather", wrapper)
+    return modes
+
+
+def test_ppr_auto_salted_equals_broadcast(spark, hub_graph, monkeypatch):
+    # Off-broadcast, the shared degree probe must auto-select salted
+    # for the PPR loop (AQE is suspended there — salting is its only
+    # skew defence) and reproduce the broadcast iterates bit-for-bit.
+    from pagerank_spark.operators import ppr as ppr_mod
+
+    base = ppr_mod.personalized_pagerank(hub_graph, [0], max_iter=10)
+    modes = _spy_modes(monkeypatch, ppr_mod)
+    auto = ppr_mod.personalized_pagerank(hub_graph, [0], max_iter=10,
+                                         broadcast_max_vertices=0)
+    assert modes == ["salted"]
+    a = {r["id"]: r["pr"] for r in base.ranks.collect()}
+    b = {r["id"]: r["pr"] for r in auto.ranks.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12)
+
+
+def test_weighted_auto_salted_equals_broadcast(spark, hub_graph, monkeypatch):
+    from pagerank_spark.operators import weighted as w_mod
+
+    ew = hub_graph.edges.withColumn(
+        "weight", (F.col("src") % 3 + 1).cast("double"))
+    base = w_mod.weighted_pagerank(ew, max_iter=10)
+    modes = _spy_modes(monkeypatch, w_mod)
+    auto = w_mod.weighted_pagerank(ew, max_iter=10,
+                                   broadcast_max_vertices=0)
+    assert modes == ["salted"]
+    a = {r["id"]: r["pr"] for r in base.ranks.collect()}
+    b = {r["id"]: r["pr"] for r in auto.ranks.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12)
+
+
+def test_hits_auto_salted_equals_broadcast(spark, hub_graph, monkeypatch):
+    # The forward (authority) gather probes OUT-degrees — the hub
+    # fixture's skew axis — and must salt; the reversed (hub) gather
+    # probes in-degrees and decides independently.
+    import importlib
+
+    hits_mod = importlib.import_module("pagerank_spark.operators.hits")
+
+    g = hub_graph
+    base = {r["id"]: (r["hub"], r["auth"])
+            for r in hits_mod.hits(g.edges, n=g.n, max_iter=6).collect()}
+    modes = _spy_modes(monkeypatch, hits_mod)
+    monkeypatch.setattr(hits_mod, "BROADCAST_MAX_VERTICES", 0)
+    got = {r["id"]: (r["hub"], r["auth"])
+           for r in hits_mod.hits(g.edges, n=g.n, max_iter=6).collect()}
+    assert len(modes) == 2 and modes[0] == "salted"
+    assert got.keys() == base.keys()
+    for v in base:
+        assert got[v][0] == pytest.approx(base[v][0], abs=1e-12)
+        assert got[v][1] == pytest.approx(base[v][1], abs=1e-12)
