@@ -34,6 +34,13 @@ ADJ_SALT_THRESHOLD = 40   # in-degree above which a dst is salted
 ADJ_NUM_SALTS = 4         # salted-adjacency chunk count
 SESSION_GAP_US = 1800 * 1_000_000  # 30-min session gap, integer microseconds
 LSH_PLANES, LSH_TABLES, LSH_SEED = 4, 8, 42  # ann_lsh_topk params
+# embedding_near_dups threshold, both engines.  The synthetic
+# embeddings are i.i.d.-ish (no true near-dups: max pairwise cosine
+# ~0.51 at these SFs), so the driver threshold sits at the
+# distribution's tail — the check then exercises the LSH bucket join
+# AND the cosine filter with non-empty output instead of hashing two
+# empty sets.  Production near-dup use stays at the 0.99 default.
+EMB_NEAR_DUP_THRESHOLD = 0.4
 # Unrolled-iteration count for the pagerank_converged oracle.  The
 # engine stops at L1 < 1e-10 (~130 iterations on these graphs: the L1
 # delta contracts by the damping factor 0.85 per step, so it falls one
@@ -466,10 +473,17 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
+    """Embedding near-dup pairs through the SHIPPED scale path: the
+    hyperplane-LSH bucket equi-join (portable md5-derived signs —
+    similarity._plane_signs — so the DuckDB oracle reproduces the
+    exact candidate set), cosine-scored and thresholded.  The brute
+    all-pairs face survives only as the pytest recall oracle."""
     from pagerank_spark.pipeline import dedup
 
     emb = _embs(spark, sf_dir).where(F.col("vec_id") < 1000)
-    return dedup.embedding_near_dup_pairs(emb, threshold=0.99)
+    return dedup.embedding_near_dup_pairs(
+        emb, threshold=EMB_NEAR_DUP_THRESHOLD, n_planes=LSH_PLANES,
+        n_tables=LSH_TABLES, seed=LSH_SEED)
 
 
 def q_ann_topk(spark, sf_dir):
@@ -1342,20 +1356,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
         """,
-        "embedding_near_dups": """
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   round(list_dot_product(a.emb, b.emb)
-                         / (sqrt(list_dot_product(a.emb, a.emb))
-                            * sqrt(list_dot_product(b.emb, b.emb))), 6)
+        "embedding_near_dups": f"""
+            -- mirrors the SHIPPED LSH-bucketed path: same md5-derived
+            -- hyperplane signs as similarity._plane_signs, candidates =
+            -- pairs sharing any (table, bucket), then the cosine filter.
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                         FROM embeddings WHERE vec_id < 1000),
+            tp AS (SELECT t.t, p.p
+                   FROM (SELECT unnest(generate_series(0, {LSH_TABLES - 1}))
+                             AS t) t
+                   CROSS JOIN
+                        (SELECT unnest(generate_series(0, {LSH_PLANES - 1}))
+                             AS p) p),
+            proj AS (
+                SELECT vec_id, t, p,
+                       list_sum(list_transform(
+                           generate_series(1, len(e)),
+                           d -> e[d] * (CASE WHEN strpos('13579bdf',
+                               substr(md5(d::VARCHAR || ':' || p::VARCHAR
+                                   || ':' || ({LSH_SEED} + 1000 * t)::VARCHAR),
+                                   1, 1)) > 0
+                               THEN 1.0 ELSE -1.0 END))) AS proj
+                FROM emb CROSS JOIN tp),
+            buckets AS (
+                SELECT vec_id, t,
+                       sum(CASE WHEN proj >= 0
+                                THEN power(2, {LSH_PLANES - 1} - p)
+                                ELSE 0 END)::BIGINT AS bucket
+                FROM proj GROUP BY vec_id, t),
+            cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                     FROM buckets a JOIN buckets b
+                       ON a.t = b.t AND a.bucket = b.bucket
+                     WHERE a.vec_id < b.vec_id)
+            SELECT vec_a, vec_b,
+                   round(list_dot_product(ea.e, eb.e)
+                         / (sqrt(list_dot_product(ea.e, ea.e))
+                            * sqrt(list_dot_product(eb.e, eb.e))), 6)
                        AS cosine
-            FROM (SELECT vec_id, embedding::DOUBLE[] AS emb
-                  FROM embeddings WHERE vec_id < 1000) a
-            JOIN (SELECT vec_id, embedding::DOUBLE[] AS emb
-                  FROM embeddings WHERE vec_id < 1000) b
-              ON a.vec_id < b.vec_id
-            WHERE round(list_dot_product(a.emb, b.emb)
-                        / (sqrt(list_dot_product(a.emb, a.emb))
-                           * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.99
+            FROM cand c
+            JOIN emb ea ON c.vec_a = ea.vec_id
+            JOIN emb eb ON c.vec_b = eb.vec_id
+            WHERE round(list_dot_product(ea.e, eb.e)
+                        / (sqrt(list_dot_product(ea.e, ea.e))
+                           * sqrt(list_dot_product(eb.e, eb.e))), 6)
+                  >= {EMB_NEAR_DUP_THRESHOLD}
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS emb

@@ -496,3 +496,40 @@ def test_near_dup_clusters_all_singletons(spark):
     rows = {r["doc_id"]: r["cluster"]
             for r in dedup.near_dup_clusters(d, threshold=0.9).collect()}
     assert rows == {0: 0, 1: 1, 2: 2}
+
+
+def test_embedding_near_dups_lsh_matches_brute(spark):
+    # Planted near-dup clusters: the shipped LSH-bucketed path must
+    # recover exactly the pairs the brute-force oracle finds (at the
+    # 4x8 defaults the per-pair miss probability is ~6e-7; with fixed
+    # vectors and a fixed seed the outcome is deterministic).
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, (v / np.linalg.norm(v)).tolist()))
+        w = v + rng.normal(scale=0.005, size=16)   # near-dup partner
+        rows.append((2 * i + 1, (w / np.linalg.norm(w)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    brute = {(r["vec_a"], r["vec_b"]): r["cosine"]
+             for r in dedup.embedding_near_dup_pairs(
+                 emb, threshold=0.99, method="brute").collect()}
+    lsh = {(r["vec_a"], r["vec_b"]): r["cosine"]
+           for r in dedup.embedding_near_dup_pairs(
+               emb, threshold=0.99).collect()}
+    assert len(brute) >= 40  # every planted pair scores >= 0.99
+    assert lsh == brute
+
+
+def test_embedding_near_dups_max_bucket_cap(spark):
+    # A degenerate bucket (many identical vectors) is dropped from
+    # candidate generation when over the cap — same semantics as
+    # similarity.lsh_topk's max_bucket.
+    from pagerank_spark.pipeline import dedup as dd
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    capped = dd.embedding_near_dup_pairs(emb, threshold=0.99, max_bucket=5)
+    assert capped.count() == 0
+    uncapped = dd.embedding_near_dup_pairs(emb, threshold=0.99)
+    assert uncapped.count() == 20 * 19 // 2

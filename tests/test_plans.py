@@ -153,3 +153,19 @@ def test_bfs_frontier_round_broadcasts(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         und.unpersist()
+
+
+def test_embedding_near_dups_shipped_path_no_cartesian(spark):
+    # The DEFAULT embedding near-dup path must be the LSH bucket
+    # equi-join (VERDICT r3 item 2); only the explicit brute face —
+    # the pytest recall oracle — may cross-join.
+    from pagerank_spark.pipeline import dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 1.0]) for i in range(6)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    plan = _physical(dedup.embedding_near_dup_pairs(emb, threshold=0.9))
+    assert "CartesianProduct" not in plan
+    brute = _physical(dedup.embedding_near_dup_pairs(
+        emb, threshold=0.9, method="brute"))
+    assert "CartesianProduct" in brute  # the assertion above is sensitive
