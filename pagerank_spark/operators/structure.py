@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from pagerank_spark.checkpoint import CheckpointManager
 from pagerank_spark.graph import symmetrize
 from pagerank_spark.operators.triangles import triangles_per_vertex
 
@@ -61,7 +62,9 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
         und.unpersist()
 
 
-def k_core(edges: DataFrame, k: int, max_rounds: int = 1000) -> DataFrame:
+def k_core(edges: DataFrame, k: int, max_rounds: int = 1000,
+           checkpoint: CheckpointManager | None = None,
+           checkpoint_interval: int = 8) -> DataFrame:
     """(id,) — vertices of the k-core: the maximal induced subgraph
     where every vertex has undirected degree ≥ k.
 
@@ -70,10 +73,23 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 1000) -> DataFrame:
     aggregation and one semi-join per endpoint; the edge set only
     shrinks, so the convergence aggregate (one COUNT) is
     constant-size and rounds get geometrically cheaper on typical
-    graphs.  Lineage is truncated per round.
+    graphs.
+
+    Lineage: the surviving edge set is re-persisted per round (a
+    columnar SQL cache — an eager RDD localCheckpoint of an |2E|-row
+    table blows the heap at web scale, see graph.prepare_prebuilt),
+    which caches DATA but lets the logical plan grow by one degree
+    agg + two semi-joins per peel; a DEEP cascade (hundreds of
+    rounds — e.g. long chains peeled end-in) would re-analyze an
+    ever-longer plan.  The shared CheckpointManager cadence bounds it
+    exactly as in PageRank/CC: every ``checkpoint_interval`` rounds
+    the surviving edges are written durably and re-read, resetting
+    the plan to a parquet scan (and making long peels resumable-class
+    artifacts with per-round metrics).
     """
     if k < 0:
         raise ValueError("k must be >= 0")
+    spark = edges.sparkSession
     # Columnar SQL cache, not an eager RDD localCheckpoint: at web
     # scale the |2E|-row symmetrized set as raw UnsafeRow checkpoint
     # blocks blows the heap where compressed columnar batches fit
@@ -82,11 +98,24 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 1000) -> DataFrame:
     und = _simple_undirected(edges).persist()
     if k <= 1:
         # Every endpoint of the simple graph has degree >= 1.
-        return und.select(F.col("src").alias("id")).distinct()
+        # Materialize (|V|-row table) so the symmetrize cache can be
+        # released before returning instead of staying pinned forever.
+        out = (und.select(F.col("src").alias("id")).distinct()
+               .localCheckpoint(eager=True))
+        und.unpersist()
+        return out
+    if checkpoint is None:
+        import tempfile
+
+        checkpoint = CheckpointManager(
+            spark, tempfile.mkdtemp(prefix="kcore_ckpt_"),
+            interval=checkpoint_interval)
     cur = und
     n_prev = None
     keep = None
+    rnd = 0
     for _ in range(max_rounds):
+        rnd += 1
         deg = cur.groupBy(F.col("src").alias("id")).agg(
             F.count(F.lit(1)).alias("deg"))
         keep = deg.where(F.col("deg") >= k).select("id").localCheckpoint(
@@ -100,8 +129,13 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 1000) -> DataFrame:
             cur.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
             .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
             .select("src", "dst")
-            .persist()
         )
+        if checkpoint.should_checkpoint(rnd):
+            # Durable plan reset + per-round lineage/metrics row.
+            nxt = checkpoint.write_state(nxt, rnd).persist()
+            checkpoint.write_metrics(rnd, {"survivors": float(n)})
+        else:
+            nxt = nxt.persist()
         nxt.count()
         cur.unpersist()
         cur = nxt

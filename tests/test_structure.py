@@ -372,3 +372,25 @@ def test_bfs_and_sssp_relayout_path_equals_broadcast(spark, monkeypatch):
              for r in sssp_mod.shortest_paths(wdf, [0]).collect()}
     assert got_d == want_d
     assert got_s == want_s
+
+
+def test_kcore_deep_cascade_durable_cadence(spark, tmp_path):
+    # A 60-vertex chain hanging off a triangle: k=2 peeling consumes
+    # the chain ONE vertex per round (cascade depth >= 59 — the
+    # worst-case shape for per-round plan growth), so the durable
+    # checkpoint cadence must be what keeps the surviving plan
+    # constant-size.  Survivors are exactly the triangle.
+    from pagerank_spark.checkpoint import CheckpointManager
+    from pagerank_spark.operators.structure import k_core
+
+    chain = [(i, i + 1) for i in range(59)]          # 0-1-...-59
+    tri = [(59, 200), (200, 201), (201, 202), (202, 200)]
+    df = edges_df(spark, chain + tri)
+    ck = CheckpointManager(spark, str(tmp_path / "kck"), interval=8)
+    got = sorted(r["id"] for r in k_core(df, 2, checkpoint=ck).collect())
+    assert got == [200, 201, 202]
+    # the cascade ran long enough to hit the durable cadence many
+    # times, and each hit committed a state + metrics row
+    committed = ck.committed_iterations()
+    assert len(committed) >= 6 and committed[0] == 8
+    assert ck.read_metric(committed[-1], "survivors") is not None
