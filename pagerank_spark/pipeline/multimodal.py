@@ -2,13 +2,15 @@
 columns with typed metadata, processed by Arrow-batched pandas UDFs
 over ``mapInPandas``.
 
-The image/audio codec libraries are not available in this container,
-so the DECODE step is stubbed (deterministic fake keyed off the bytes,
-or ``NotImplementedError`` when ``require_real_codecs=True``).  The
-Spark-side plumbing — schema, binary Arrow transfer, batch iteration,
-partition-preserving mapInPandas, metadata structs — is real and
-tested; swapping the stub for PIL/libav is a local change inside one
-function.
+The decode step dispatches on payload format: REAL numpy-only
+decoders for binary netpbm images (P6/P5) and PCM RIFF/WAVE audio run
+everywhere (numpy is the only dependency), PIL / soundfile extend
+coverage to compressed formats when importable (not in this
+container; pip has no network), and anything else falls back to a
+deterministic fake keyed off the bytes — or fails fast when
+``require_real_codecs=True``.  The Spark-side plumbing — schema,
+binary Arrow transfer, batch iteration, partition-preserving
+mapInPandas, metadata structs — is identical on every branch.
 
 Schema contract:
     media(doc_id BIGINT, kind STRING, payload BINARY,
@@ -83,21 +85,109 @@ def _fake_decode(payload: bytes) -> "object":
     return arr
 
 
+def _is_pnm(payload: bytes) -> bool:
+    """True for binary PPM/PGM (netpbm P6/P5) payloads."""
+    return (len(payload) > 2 and payload[:2] in (b"P6", b"P5")
+            and payload[2:3].isspace())
+
+
+def _is_wav(payload: bytes) -> bool:
+    return len(payload) >= 12 and payload[:4] == b"RIFF" \
+        and payload[8:12] == b"WAVE"
+
+
+def _decode_pnm(payload: bytes) -> "object":
+    """REAL image decode, numpy-only: binary netpbm (P6 RGB / P5
+    gray, maxval <= 255) — text header (whitespace-separated width,
+    height, maxval; ``#`` comments) followed by the raw sample
+    buffer.  Returns the flat uint8 pixel array, byte-identical to
+    what PIL returns for the same file (tested)."""
+    import numpy as np
+
+    magic = payload[:2]
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated netpbm header")
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # exactly one whitespace byte separates maxval from data
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    n = w * h * (3 if magic == b"P6" else 1)
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i)
+    if arr.size < n:
+        raise ValueError("truncated netpbm payload")
+    return arr
+
+
+def _decode_wav(payload: bytes) -> "object":
+    """REAL audio decode, numpy-only: RIFF/WAVE chunk walk, 16-bit or
+    8-bit PCM.  Samples are normalized to [-1, 1] floats exactly as
+    soundfile does, then mapped to the uint8 feature domain with the
+    same transform as the soundfile branch — the two backends produce
+    identical features for the same file (tested)."""
+    import struct
+
+    import numpy as np
+
+    fmt = None
+    data = None
+    off = 12
+    while off + 8 <= len(payload):
+        cid = payload[off:off + 4]
+        (size,) = struct.unpack_from("<I", payload, off + 4)
+        body = payload[off + 8:off + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    audio_format, _ch, _rate, _bps, _align, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"only PCM WAV supported (format {audio_format})")
+    if bits == 16:
+        samples = np.frombuffer(
+            data, dtype="<i2", count=len(data) // 2).astype(np.float64) \
+            / 32768.0
+    elif bits == 8:
+        samples = (np.frombuffer(data, dtype=np.uint8)
+                   .astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV bit depth {bits}")
+    return (np.clip(samples, -1.0, 1.0) * 127.0 + 128.0).astype(np.uint8)
+
+
 _CODEC_REGISTRY: dict | None = None
 
 
 def codec_registry() -> dict:
-    """Probe for real codec libraries ONCE per process (executor-side:
-    each Python worker probes on its first batch and caches).
+    """kind -> preferred real backend, probed ONCE per process
+    (executor-side: each Python worker probes on its first batch and
+    caches).
 
-    Deploying with PIL / soundfile installed changes ZERO engine code:
-    :func:`_decode` dispatches to the real decoder whenever the
-    library is importable and falls back to :func:`_fake_decode`
-    otherwise (this container has neither, and pip has no network —
-    the stub is the documented sandbox path)."""
+    Both kinds always have a real in-process backend: the numpy-only
+    netpbm (P6/P5 image) and RIFF/WAVE (PCM audio) decoders above
+    need nothing beyond numpy.  When PIL / soundfile ARE importable
+    they extend coverage to the compressed formats (PNG/JPEG, FLAC/
+    OGG, ...) with ZERO engine change — :func:`_decode` sniffs the
+    payload and dispatches."""
     global _CODEC_REGISTRY
     if _CODEC_REGISTRY is None:
-        reg = {}
+        reg = {"image": "ppm-numpy", "audio": "wav-numpy"}
         try:
             from PIL import Image  # noqa: F401
 
@@ -114,28 +204,45 @@ def codec_registry() -> dict:
     return _CODEC_REGISTRY
 
 
-def _decode(payload: bytes, kind: str) -> "object":
-    """Decode one media payload to a flat uint8 sample array: real
-    codec when available (see :func:`codec_registry`), deterministic
-    fake otherwise."""
+def _decode(payload: bytes, kind: str, require_real: bool = False) -> "object":
+    """Decode one media payload to a flat uint8 sample array.
+
+    Dispatch order: format-sniffed numpy decoders (netpbm / WAV —
+    always available) first, then the optional libraries (PIL /
+    soundfile) for formats the built-ins don't cover, then the
+    deterministic fake — unless ``require_real`` is set, in which
+    case an undecodable payload raises ``NotImplementedError``
+    instead of silently faking."""
     import numpy as np
 
     reg = codec_registry()
-    if kind == "image" and "image" in reg:
-        import io as _io
+    if kind == "image":
+        if _is_pnm(payload):
+            return _decode_pnm(payload)
+        if reg.get("image") == "pillow":
+            import io as _io
 
-        from PIL import Image
+            from PIL import Image
 
-        img = Image.open(_io.BytesIO(payload))
-        return np.asarray(img, dtype=np.uint8).ravel()
-    if kind == "audio" and "audio" in reg:
-        import io as _io
+            img = Image.open(_io.BytesIO(payload))
+            return np.asarray(img, dtype=np.uint8).ravel()
+    elif kind == "audio":
+        if _is_wav(payload):
+            return _decode_wav(payload)
+        if reg.get("audio") == "soundfile":
+            import io as _io
 
-        import soundfile
+            import soundfile
 
-        data, _sr = soundfile.read(_io.BytesIO(payload))
-        return (np.clip(data, -1.0, 1.0).ravel() * 127.0 + 128.0) \
-            .astype(np.uint8)
+            data, _sr = soundfile.read(_io.BytesIO(payload))
+            return (np.clip(data, -1.0, 1.0).ravel() * 127.0 + 128.0) \
+                .astype(np.uint8)
+    if require_real:
+        raise NotImplementedError(
+            f"no real codec available for this {kind!r} payload "
+            f"(backends: {reg}); numpy-only netpbm/WAV are built in — "
+            "install PIL (compressed images) / soundfile (compressed "
+            "audio) for other formats")
     return _fake_decode(payload)
 
 
@@ -148,22 +255,22 @@ def extract_features(media: DataFrame, n_features: int = 8,
     256)`` — whole-stage-codegen'd column expressions computed before
     the Arrow transfer and passed through the UDF untouched.  Only the
     decode+featurize step crosses into Python, via mapInPandas (Arrow
-    batches): the per-item ``_fake_decode`` is the inherently per-item
-    codec stub, and the byte histogram is computed ONCE per batch with
-    a single vectorized bincount over the concatenated buffers (no
-    per-row numpy calls).  With ``require_real_codecs=True`` raises
-    NotImplementedError where the real decoder would run (the
-    container has no image/audio libs).
+    batches): the per-item decode is the inherently per-item codec
+    step, and the byte histogram is computed ONCE per batch with a
+    single vectorized bincount over the concatenated buffers (no
+    per-row numpy calls).
 
     Histogram bins are ``n_features`` equal byte-value ranges over
     [0, 256) (``np.histogram`` edge semantics, any ``n_features``).
 
-    Codec dispatch: :func:`_decode` uses the REAL decoder (PIL /
-    soundfile) whenever the library is importable on the executor and
-    the deterministic fake otherwise, so a production deploy is a
-    dependency install, not a code change.  With
-    ``require_real_codecs=True`` the batch fails fast when a payload's
-    kind has no real codec available instead of silently faking.
+    Codec dispatch (:func:`_decode`): the numpy-only netpbm/WAV
+    decoders run in-process for payloads in those formats; PIL /
+    soundfile extend coverage when importable (a production deploy is
+    a dependency install, not a code change); anything else falls
+    back to the deterministic fake — or, with
+    ``require_real_codecs=True``, fails fast with
+    ``NotImplementedError`` on the first payload no real decoder can
+    handle instead of silently faking.
     """
     annotated = media.select(
         "doc_id", "kind", "payload",
@@ -175,17 +282,10 @@ def extract_features(media: DataFrame, n_features: int = 8,
         import numpy as np
 
         for pdf in batches:
-            if require_real_codecs:
-                missing = sorted(set(pdf["kind"]) - set(codec_registry()))
-                if missing:
-                    raise NotImplementedError(
-                        f"no real codec available for kinds {missing}; "
-                        "install PIL (image) / soundfile (audio) — "
-                        "_decode dispatches to them automatically")
             n = len(pdf)
             # Decode is per-item by nature (each payload is one media
             # object); everything after is batch-vectorized.
-            decoded = [_decode(bytes(p), k)
+            decoded = [_decode(bytes(p), k, require_real_codecs)
                        for p, k in zip(pdf["payload"], pdf["kind"])]
             lens = np.array([d.size for d in decoded], dtype=np.int64)
             if n and lens.sum() > 0:

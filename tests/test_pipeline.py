@@ -434,41 +434,96 @@ def test_frame_sampling_no_python(spark, docs):
 
 
 def test_codec_registry_sandbox_fallback(spark, docs):
-    # This container has no PIL/soundfile: the registry must be empty
-    # and _decode must fall back to the deterministic fake.
+    # This container has no PIL/soundfile: the registry must report
+    # the built-in numpy backends, and _decode must fall back to the
+    # deterministic fake for payloads in formats they can't parse.
     reg = multimodal.codec_registry()
-    assert "image" not in reg and "audio" not in reg
+    assert reg["image"] == "ppm-numpy" and reg["audio"] == "wav-numpy"
     import numpy as np
 
     out = multimodal._decode(b"abc", "image")
     assert np.array_equal(out, multimodal._fake_decode(b"abc"))
 
 
-@pytest.mark.skipif("image" not in multimodal.codec_registry(),
-                    reason="PIL not installed (sandbox): real-codec "
-                           "branch requires pillow")
-def test_real_image_codec_branch(spark):
-    # Runs only where pillow IS installed: a real 2x2 PNG must decode
-    # through PIL (not the byte-fake) and featurize end to end.
-    import io as _io
+def _ppm_bytes(pixels) -> bytes:
+    """Minimal binary P6 writer (the test-side twin of _decode_pnm)."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = a.shape
+    return b"P6\n# test image\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def _wav_bytes(samples_i16, rate=16000) -> bytes:
+    """Minimal canonical 16-bit mono PCM WAV writer."""
+    import struct
 
     import numpy as np
-    from PIL import Image
 
-    img = Image.fromarray(
-        np.arange(12, dtype=np.uint8).reshape(2, 2, 3), "RGB")
-    buf = _io.BytesIO()
-    img.save(buf, format="PNG")
-    payload = buf.getvalue()
+    data = np.asarray(samples_i16, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_real_image_codec_branch(spark):
+    # A real 2x2 binary PPM decodes through the numpy netpbm decoder
+    # (not the byte-fake) and featurizes end to end with
+    # require_real_codecs=True — the real-dispatch branch exercised
+    # in-sandbox, no PIL needed.
+    import numpy as np
+
+    payload = _ppm_bytes(np.arange(12, dtype=np.uint8).reshape(2, 2, 3))
     assert np.array_equal(
         multimodal._decode(payload, "image"),
         np.arange(12, dtype=np.uint8))
+    # fake would differ: it returns the raw bytes INCLUDING the header
+    assert not np.array_equal(
+        multimodal._decode(payload, "image"),
+        multimodal._fake_decode(payload))
     media = spark.createDataFrame(
-        [(1, "image", bytearray(payload), ("png", 2, 2, 0, 1))],
+        [(1, "image", bytearray(payload), ("ppm", 2, 2, 0, 1))],
         multimodal.MEDIA_SCHEMA)
     feats = multimodal.extract_features(
         media, n_features=4, require_real_codecs=True).collect()
     assert len(feats) == 1 and sum(feats[0]["features"]) == pytest.approx(1.0)
+    # deterministic: 12 pixel values 0..11 all land in bin 0 of 4
+    assert feats[0]["features"][0] == pytest.approx(1.0)
+
+
+def test_real_audio_codec_branch(spark):
+    # A real 16-bit PCM WAV decodes through the numpy RIFF walker and
+    # featurizes end to end under require_real_codecs=True.
+    import numpy as np
+
+    samples = np.array([-32768, -16384, 0, 16384, 32767], dtype=np.int16)
+    payload = _wav_bytes(samples)
+    got = multimodal._decode(payload, "audio")
+    want = (np.clip(samples.astype(np.float64) / 32768.0, -1, 1)
+            * 127.0 + 128.0).astype(np.uint8)
+    assert np.array_equal(got, want)
+    media = spark.createDataFrame(
+        [(2, "audio", bytearray(payload), ("wav", 0, 0, 16000, 0))],
+        multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(
+        media, n_features=4, require_real_codecs=True).collect()
+    assert len(feats) == 1 and sum(feats[0]["features"]) == pytest.approx(1.0)
+
+
+def test_require_real_codecs_mixed_batch_fails_fast(spark):
+    # One decodable PPM + one opaque payload: require_real_codecs
+    # must fail on the opaque one even though its KIND has a backend.
+    import numpy as np
+
+    ok = _ppm_bytes(np.zeros((1, 1, 3), dtype=np.uint8))
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(ok), ("ppm", 1, 1, 0, 1)),
+         (2, "image", bytearray(b"not an image"), ("raw", 0, 0, 0, 1))],
+        multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|no real codec"):
+        multimodal.extract_features(
+            media, require_real_codecs=True).collect()
 
 
 def test_near_dup_clusters_transitive_closure(spark):
