@@ -257,6 +257,16 @@ def q_bfs_depths(spark, sf_dir):
                       max_depth=BFS_MAX_DEPTH)
 
 
+def q_bfs_directed(spark, sf_dir):
+    """Directed-traversal face of bfs_depths: follow edges src→dst
+    only (no symmetrize).  The oracle walks the same frontier with the
+    forward half of the recursive CTE alone."""
+    from pagerank_spark.operators.bfs import bfs_depths
+
+    return bfs_depths(_edges(spark, sf_dir), [BFS_SOURCE],
+                      max_depth=BFS_MAX_DEPTH, directed=True)
+
+
 def q_sssp(spark, sf_dir):
     """Weighted single-source shortest paths from SSSP_SOURCE with the
     deterministic weight (src+dst)%7+1 — frontier Bellman-Ford; the
@@ -599,6 +609,27 @@ def q_repo_vertex_ids(spark, sf_dir):
     return dictionary.select("name", F.col("id").cast("bigint").alias("id"))
 
 
+def q_repo_pagerank_k3(spark, sf_dir):
+    """The north-star composition end-to-end: content-mined import
+    edges (Arrow-vectorized extraction) → deterministic two-level
+    dense-id encode → prepared graph → 3 PageRank steps → ids decoded
+    back to repo names.  Proves the dense-id encode feeds the matvec
+    with reference semantics — the oracle recomputes the whole chain
+    (re-mined edges, row_number ids, unrolled PR) in SQL."""
+    from pagerank_spark import extraction, graph as G
+    from pagerank_spark.operators import pagerank
+
+    edges_str = extraction.derive_edges(_repo_files(spark, sf_dir))
+    enc, dictionary = G.encode_dense_ids(edges_str)
+    g = G.prepare(enc)
+    res = pagerank(g, max_iter=3)
+    return (
+        res.converged_ranks
+        .join(dictionary, "id")
+        .select("name", F.round("pr", 9).alias("pr"))
+    )
+
+
 def q_events_sessions(spark, sf_dir):
     """Sessionize events per user with a 30-minute inactivity gap
     (gaps-and-islands via lag + cumulative sum — the batch face of
@@ -657,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted_k3": q_pagerank_weighted_k3,
         "connected_components": q_connected_components,
         "bfs_depths": q_bfs_depths,
+        "bfs_directed": q_bfs_directed,
         "sssp": q_sssp,
         "components_domain": q_components_domain,
         "label_propagation_k2": q_label_propagation_k2,
@@ -689,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_module_owners": q_repo_module_owners,
         "repo_edges": q_repo_edges,
         "repo_vertex_ids": q_repo_vertex_ids,
+        "repo_pagerank_k3": q_repo_pagerank_k3,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
     }
@@ -713,15 +746,15 @@ _SHINGLE_SQL = """
 # commit/content expressions, so file-level hashes and the mined edge
 # set are comparable value-for-value.
 _REPO_FILES_SQL = f"""
-    n AS (SELECT count(*) AS n_docs FROM documents),
+    ndocs AS (SELECT count(*) AS n_docs FROM documents),
     files AS (
         SELECT 'org/repo' || (doc_id % {REPO_BUCKETS}) AS repo,
                'src/m' || doc_id || '.py' AS path,
                md5('c:' || doc_id) AS commit,
                'python' AS lang,
-               'import m' || ((doc_id * 7 + 1) % (SELECT n_docs FROM n))
+               'import m' || ((doc_id * 7 + 1) % (SELECT n_docs FROM ndocs))
                    || chr(10) || 'from m'
-                   || ((doc_id * 13 + 5) % (SELECT n_docs FROM n))
+                   || ((doc_id * 13 + 5) % (SELECT n_docs FROM ndocs))
                    || ' import thing' || chr(10) || '# '
                    || replace(text, chr(10), ' ') AS content
         FROM documents)
@@ -1069,6 +1102,18 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT s.dst, r.d + 1
                 FROM r JOIN sym s ON s.src = r.id
+                WHERE r.d < {BFS_MAX_DEPTH}
+            )
+            SELECT id, CAST(min(d) AS INT) AS depth FROM r GROUP BY id
+        """,
+        "bfs_directed": f"""
+            WITH RECURSIVE edges AS ({_EDGE_SQL}),
+            fwd AS (SELECT src, dst FROM edges WHERE src <> dst),
+            r(id, d) AS (
+                SELECT CAST({BFS_SOURCE} AS BIGINT), 0
+                UNION
+                SELECT s.dst, r.d + 1
+                FROM r JOIN fwd s ON s.src = r.id
                 WHERE r.d < {BFS_MAX_DEPTH}
             )
             SELECT id, CAST(min(d) AS INT) AS depth FROM r GROUP BY id
@@ -1579,6 +1624,36 @@ def oracle_sql() -> dict[str, str]:
                       UNION SELECT dst_repo FROM e)
             SELECT name, row_number() OVER (ORDER BY name) - 1 AS id
             FROM names
+        """,
+        "repo_pagerank_k3": f"""
+            -- the full north-star chain in SQL: re-mined import edges
+            -- (same regexes as the Arrow extraction), row_number dense
+            -- ids, then the shared 3-step unrolled PageRank over the
+            -- encoded edge table, decoded back to repo names.
+            WITH {_REPO_FILES_SQL}, {_MODULE_OWNERS_SQL},
+            refs AS (
+                SELECT repo, unnest(
+                    regexp_extract_all(content,
+                        '(?m)^\\s*import\\s+([A-Za-z_][\\w.]*)', 1)
+                    || regexp_extract_all(content,
+                        '(?m)^\\s*from\\s+([A-Za-z_][\\w.]*)\\s+import\\b', 1)
+                ) AS module
+                FROM files),
+            se AS (
+                SELECT DISTINCT r.repo AS src_repo, o.owner_repo AS dst_repo
+                FROM refs r JOIN owners o USING (module)
+                WHERE r.repo <> o.owner_repo),
+            nm AS (SELECT src_repo AS name FROM se
+                   UNION SELECT dst_repo FROM se),
+            ids AS (SELECT name, row_number() OVER (ORDER BY name) - 1 AS id
+                    FROM nm),
+            edges AS (
+                SELECT a.id AS src, b.id AS dst
+                FROM se JOIN ids a ON se.src_repo = a.name
+                        JOIN ids b ON se.dst_repo = b.name),
+            {_PR3_CTES}
+            SELECT i.name, round(p.pr, 9) AS pr
+            FROM p3 p JOIN ids i ON p.id = i.id
         """,
         "events_hourly": f"""
             SELECT strftime(date_trunc('hour', ts),
