@@ -104,13 +104,16 @@ def _bfs_loop(und: DataFrame, sources: DataFrame, max_depth: int,
         .persist()
     )
     frontier = depths.select("id").persist()
-    frontier_rows = None  # unknown only for round 1 (the source set)
+    # Round 1's frontier is the source set: count it once (also
+    # materializes the persist) so an arbitrarily large source
+    # DataFrame is never force-broadcast on the first round — every
+    # later round's count comes free from the convergence aggregate.
+    frontier_rows = depths.count()
     laid_out = False
     d = 0
     while d < max_depth:
         d += 1
-        small = (frontier_rows is None
-                 or frontier_rows <= BROADCAST_MAX_FRONTIER)
+        small = frontier_rows <= BROADCAST_MAX_FRONTIER
         if not small and not laid_out:
             # One-time on-demand re-layout: every later shuffle-join
             # round then moves only the frontier side.

@@ -85,12 +85,15 @@ def _sssp_loop(e: DataFrame, sources: DataFrame, max_rounds: int,
         .persist()
     )
     frontier = dists.persist()
-    frontier_rows = None
+    # Count the source set once so round 1 never force-broadcasts an
+    # arbitrarily large source DataFrame (same fix as bfs._bfs_loop);
+    # later rounds get their count from the convergence aggregate.
+    frontier_rows = dists.count()
     laid_out = False
     r = 0
     while r < max_rounds:
         r += 1
-        small = frontier_rows is None or frontier_rows <= BROADCAST_MAX_FRONTIER
+        small = frontier_rows <= BROADCAST_MAX_FRONTIER
         if not small and not laid_out:
             relaid = e.repartition(e.rdd.getNumPartitions(), "src").persist()
             relaid.count()
