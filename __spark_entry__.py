@@ -280,6 +280,18 @@ def q_sssp(spark, sf_dir):
     return out.select("id", F.round("dist", ROUND).alias("dist"))
 
 
+def q_sssp_directed(spark, sf_dir):
+    """Directed face of shortest_paths: edges relax src→dst only.
+    Oracle = the same unrolled Bellman-Ford without the reverse half."""
+    from pagerank_spark.operators.sssp import shortest_paths
+
+    ew = _edges(spark, sf_dir).select(
+        "src", "dst",
+        ((F.col("src") + F.col("dst")) % 7 + 1).cast("double").alias("weight"))
+    out = shortest_paths(ew, [SSSP_SOURCE], directed=True)
+    return out.select("id", F.round("dist", ROUND).alias("dist"))
+
+
 def q_triangles_per_vertex(spark, sf_dir):
     from pagerank_spark.operators.triangles import triangles_per_vertex
 
@@ -690,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_depths": q_bfs_depths,
         "bfs_directed": q_bfs_directed,
         "sssp": q_sssp,
+        "sssp_directed": q_sssp_directed,
         "components_domain": q_components_domain,
         "label_propagation_k2": q_label_propagation_k2,
         "reciprocity": q_reciprocity,
@@ -847,21 +860,24 @@ def _hits_unrolled_sql(k: int) -> str:
     return "".join(parts)
 
 
-def _sssp_unrolled_sql(source: int, rounds: int) -> str:
+def _sssp_unrolled_sql(source: int, rounds: int,
+                       directed: bool = False) -> str:
     """Generate the unrolled DuckDB Bellman-Ford chain: per round,
     relax EVERY edge against the previous distance table and keep the
     per-vertex min.  Full relaxation is monotone, so any round count
     >= the hop length of the longest shortest path is the fixpoint
     (the engine's frontier variant relaxes a subset per round but
-    converges to the same fixpoint)."""
+    converges to the same fixpoint).  ``directed`` drops the reverse
+    half of the edge union (engine ``directed=True`` face)."""
+    rev = ("" if directed else
+           " UNION ALL"
+           " SELECT dst, src, ((src + dst) % 7 + 1)::DOUBLE AS w"
+           " FROM edges WHERE src <> dst")
     parts = [
         f"WITH edges AS MATERIALIZED ({_EDGE_SQL}),",
         "ew AS MATERIALIZED ("
         " SELECT src, dst, ((src + dst) % 7 + 1)::DOUBLE AS w"
-        " FROM edges WHERE src <> dst"
-        " UNION ALL"
-        " SELECT dst, src, ((src + dst) % 7 + 1)::DOUBLE AS w"
-        " FROM edges WHERE src <> dst),",
+        f" FROM edges WHERE src <> dst{rev}),",
         f"d0 AS (SELECT CAST({source} AS BIGINT) AS id, 0.0::DOUBLE AS dist)",
     ]
     for i in range(1, rounds + 1):
@@ -1216,6 +1232,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hits_k5": _hits_unrolled_sql(HITS_K),
         "sssp": _sssp_unrolled_sql(SSSP_SOURCE, SSSP_ORACLE_ROUNDS),
+        # directed reachability can need longer hop chains than the
+        # symmetrized walk; rounds stay a safe multiple of the engine's
+        # observed fixpoint depth (monotone, so overshoot is free).
+        "sssp_directed": _sssp_unrolled_sql(
+            SSSP_SOURCE, SSSP_ORACLE_ROUNDS + 15, directed=True),
         "kcore": _kcore_unrolled_sql(KCORE_K, KCORE_ORACLE_ROUNDS),
         "clustering_coeff": f"""
             {edge_cte},

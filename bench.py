@@ -137,6 +137,14 @@ def main() -> None:
     timed("ann_lsh_topk_vectorized",
           lambda: similarity.lsh_topk(emb, queries_df, k=10, n_planes=4,
                                       n_tables=8, vectorized=True).count())
+    # shipped LSH-bucketed near-dup path over the FULL embedding table
+    # (the r3 brute face capped input at 1k vectors; the bucket join
+    # takes all of them) — vectorized Arrow bucketing, tail threshold
+    # so the cosine filter actually scores candidates.
+    timed("embedding_near_dups",
+          lambda: dedup.embedding_near_dup_pairs(
+              emb, threshold=0.4, n_planes=4, n_tables=8, max_bucket=2000,
+              vectorized=True).count())
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -161,7 +161,6 @@ def _ppr_loop(
             .persist()
         )
 
-    stopped = False
     while it < max_iter:
         it += 1
         contribs = plan.gather(_rank_weights(state))
@@ -194,7 +193,6 @@ def _ppr_loop(
         state.unpersist()
         state = new_state
         if l1 < tol:
-            stopped = True
             break
 
     ranks = state.select("id", "pr")
