@@ -51,6 +51,11 @@ EMB_NEAR_DUP_THRESHOLD = 0.4
 PAGERANK_ORACLE_ITERS = 180
 FRAME_EVERY_N = 10  # video_frames sampling stride, both engines
 HITS_K = 5  # hits_k5 iteration count, both engines
+KATZ_K = 5  # katz_k5 iteration count, both engines
+# attenuation well under 1/max_in_degree for the sf graphs, so the
+# iterates stay O(1) and the ROUND-digit comparison is robust to
+# partial-sum-order float noise between the two engines
+KATZ_ALPHA = 0.001
 KCORE_K = 40  # kcore peel threshold, both engines
 # Unrolled peel rounds in the kcore oracle; the engine peels to the
 # true fixpoint and peeling is monotone, so any round count >= the
@@ -371,6 +376,17 @@ def q_hits_k5(spark, sf_dir):
     return res.select(
         "id", F.round("hub", ROUND).alias("hub"),
         F.round("auth", ROUND).alias("auth"))
+
+
+def q_katz_k5(spark, sf_dir):
+    """KATZ_K iterations of Katz centrality (alpha-attenuated walk
+    counts, zero init); the oracle unrolls the identical raw-rank
+    gather + affine update chain."""
+    from pagerank_spark.operators.katz import katz_centrality
+
+    res = katz_centrality(_graph(spark, sf_dir), alpha=KATZ_ALPHA,
+                          max_iter=KATZ_K, tol=0.0)
+    return res.ranks.select("id", F.round("katz", ROUND).alias("katz"))
 
 
 def q_clustering_coeff(spark, sf_dir):
@@ -710,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_central_per_label": q_top_central_per_label,
         "triangle_count": q_triangle_count,
         "hits_k5": q_hits_k5,
+        "katz_k5": q_katz_k5,
         "clustering_coeff": q_clustering_coeff,
         "kcore": q_kcore,
         "degree_distribution": q_degree_distribution,
@@ -857,6 +874,31 @@ def _hits_unrolled_sql(k: int) -> str:
                  FROM verts v LEFT JOIN a{k}u t ON v.id = t.id)
         SELECT h.id, round(h.h, {ROUND}) AS hub, round(a.a, {ROUND}) AS auth
         FROM h{k} h JOIN afin a ON h.id = a.id""")
+    return "".join(parts)
+
+
+def _katz_unrolled_sql(k: int, alpha: float) -> str:
+    """Generate the k-step unrolled DuckDB Katz chain: zero init, per
+    step x = 1 + alpha * sum over in-edges of the previous iterate
+    (raw rank, no out-degree split) — mirrors operators/katz.py."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGE_SQL}),",
+        "n AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n"
+        " FROM edges),",
+        "verts AS MATERIALIZED (SELECT unnest(generate_series(0,"
+        " (SELECT n - 1 FROM n)))::BIGINT AS id),",
+        # step 1 from the zero vector: gather 0 => pure beta vector.
+        "x1 AS (SELECT id, 1.0 AS katz FROM verts)",
+    ]
+    for i in range(2, k + 1):
+        parts.append(f""",
+            g{i} AS (SELECT e.dst AS id, sum(x.katz) AS c
+                     FROM edges e JOIN x{i - 1} x ON e.src = x.id
+                     GROUP BY e.dst),
+            x{i} AS MATERIALIZED (SELECT v.id,
+                     1.0 + {alpha!r}::DOUBLE * coalesce(g.c, 0) AS katz
+                     FROM verts v LEFT JOIN g{i} g ON v.id = g.id)""")
+    parts.append(f"\nSELECT id, round(katz, {ROUND}) AS katz FROM x{k}")
     return "".join(parts)
 
 
@@ -1231,6 +1273,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sym s JOIN deg a ON s.src = a.id JOIN deg b ON s.dst = b.id
         """,
         "hits_k5": _hits_unrolled_sql(HITS_K),
+        "katz_k5": _katz_unrolled_sql(KATZ_K, KATZ_ALPHA),
         "sssp": _sssp_unrolled_sql(SSSP_SOURCE, SSSP_ORACLE_ROUNDS),
         # directed reachability can need longer hop chains than the
         # symmetrized walk; rounds stay a safe multiple of the engine's

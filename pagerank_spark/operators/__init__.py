@@ -5,6 +5,7 @@ from pagerank_spark.operators.labelprop import label_propagation
 from pagerank_spark.operators.triangles import triangle_count, triangles_per_vertex
 from pagerank_spark.operators.bfs import bfs_depths
 from pagerank_spark.operators.hits import hits
+from pagerank_spark.operators.katz import katz_centrality, KatzResult
 from pagerank_spark.operators.sssp import shortest_paths
 from pagerank_spark.operators.structure import (
     clustering_coefficients,
@@ -23,6 +24,8 @@ __all__ = [
     "triangles_per_vertex",
     "bfs_depths",
     "hits",
+    "katz_centrality",
+    "KatzResult",
     "shortest_paths",
     "clustering_coefficients",
     "k_core",

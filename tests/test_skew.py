@@ -157,6 +157,22 @@ def test_weighted_auto_salted_equals_broadcast(spark, hub_graph, monkeypatch):
         assert a[k] == pytest.approx(b[k], abs=1e-12)
 
 
+def test_katz_auto_salted_equals_broadcast(spark, hub_graph, monkeypatch):
+    from pagerank_spark.operators import katz as katz_mod
+
+    base = katz_mod.katz_centrality(hub_graph, alpha=0.001, max_iter=6,
+                                    tol=0.0)
+    modes = _spy_modes(monkeypatch, katz_mod)
+    auto = katz_mod.katz_centrality(hub_graph, alpha=0.001, max_iter=6,
+                                    tol=0.0, broadcast_max_vertices=0)
+    assert modes == ["salted"]
+    a = {r["id"]: r["katz"] for r in base.ranks.collect()}
+    b = {r["id"]: r["katz"] for r in auto.ranks.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12)
+
+
 def test_hits_auto_salted_equals_broadcast(spark, hub_graph, monkeypatch):
     # The forward (authority) gather probes OUT-degrees — the hub
     # fixture's skew axis — and must salt; the reversed (hub) gather
