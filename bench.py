@@ -31,7 +31,8 @@ def main() -> None:
     from pagerank_spark import datagen, extraction, graph
     from pagerank_spark.operators import (
         bfs_depths, clustering_coefficients, connected_components, hits,
-        k_core, pagerank, personalized_pagerank, shortest_paths)
+        k_core, katz_centrality, pagerank, personalized_pagerank,
+        shortest_paths)
     from pagerank_spark.operators.triangles import triangles
     from pagerank_spark.operators.labelprop import label_propagation
     from pagerank_spark.operators.weighted import weighted_pagerank
@@ -87,6 +88,9 @@ def main() -> None:
               g.edges.withColumn("weight", F.lit(1.0)),
               max_iter=20).ranks.count())
     timed("hits_k8", lambda: hits(g.edges, n=g.n, max_iter=8).count())
+    timed("katz_k8",
+          lambda: katz_centrality(g, alpha=0.001, max_iter=8,
+                                  tol=0.0).ranks.count())
     timed("sssp",
           lambda: shortest_paths(
               g.edges.withColumn(
