@@ -5,7 +5,7 @@ jobs/pagerank_job.py).
 
     spark-submit --py-files engine.zip jobs/graph_job.py \
         --edges /path/to/edges.parquet \
-        --algos cc,lpa,triangles,bfs,sssp,hits,kcore,ppr,wpr,lcc,degdist \
+        --algos cc,lpa,triangles,bfs,sssp,hits,katz,kcore,ppr,wpr,lcc,degdist \
         [--source 0] [--k 3] [--max-iter 20] [--out result.json]
 
 Every algorithm prints its summary into ONE JSON line, so the job is
@@ -30,11 +30,13 @@ def main() -> None:
     p.add_argument("--edges", required=True, help="parquet edge table (src,dst)")
     p.add_argument("--algos", default="cc,lpa,triangles",
                    help="comma list: cc,lpa,triangles,bfs,sssp,hits,"
-                        "kcore,ppr,wpr,lcc,degdist")
+                        "katz,kcore,ppr,wpr,lcc,degdist")
     p.add_argument("--master", default=None)
     p.add_argument("--source", type=int, default=0,
                    help="bfs/sssp/ppr source vertex")
     p.add_argument("--k", type=int, default=3, help="k-core threshold")
+    p.add_argument("--katz-alpha", type=float, default=0.001,
+                   help="katz attenuation (must be < 1/spectral radius)")
     p.add_argument("--max-iter", type=int, default=20,
                    help="iteration cap for lpa/hits/ppr/wpr")
     p.add_argument("--weight-col", default=None,
@@ -50,8 +52,8 @@ def main() -> None:
     from pagerank_spark import graph
     from pagerank_spark.operators import (
         bfs_depths, clustering_coefficients, connected_components,
-        degree_distribution, hits, k_core, label_propagation,
-        personalized_pagerank, shortest_paths)
+        degree_distribution, hits, k_core, katz_centrality,
+        label_propagation, personalized_pagerank, shortest_paths)
     from pagerank_spark.operators.triangles import triangles
     from pagerank_spark.operators.weighted import weighted_pagerank
 
@@ -77,7 +79,7 @@ def main() -> None:
 
     algos = {a.strip() for a in args.algos.split(",") if a.strip()}
     unknown = algos - {"cc", "lpa", "triangles", "bfs", "sssp", "hits",
-                       "kcore", "ppr", "wpr", "lcc", "degdist"}
+                       "katz", "kcore", "ppr", "wpr", "lcc", "degdist"}
     if unknown:
         raise SystemExit(f"unknown algos: {sorted(unknown)}")
 
@@ -110,6 +112,14 @@ def main() -> None:
             top = h.orderBy(F.desc("auth"), F.asc("id")).first()
             return {"top_auth_id": top["id"], "top_auth": top["auth"]}
         run("hits", _hits)
+    if "katz" in algos:
+        def _katz():
+            r = katz_centrality(g, alpha=args.katz_alpha,
+                                max_iter=args.max_iter, tol=0.0)
+            top = r.ranks.orderBy(F.desc("katz"), F.asc("id")).first()
+            return {"iterations": r.iterations,
+                    "top_id": top["id"], "top_katz": top["katz"]}
+        run("katz", _katz)
     if "kcore" in algos:
         run("kcore", lambda: {"k": args.k,
                               "survivors": k_core(g.edges, args.k).count()})
