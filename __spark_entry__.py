@@ -378,6 +378,17 @@ def q_hits_k5(spark, sf_dir):
         F.round("auth", ROUND).alias("auth"))
 
 
+def q_scc(spark, sf_dir):
+    """Strongly connected components over the directed edge table;
+    scc = min vertex id of the component, dense domain [0, N).
+    Oracle = mutual reachability from the DuckDB transitive closure."""
+    from pagerank_spark.operators.scc import strongly_connected_components
+    from pagerank_spark import graph as G
+
+    e = _edges(spark, sf_dir)
+    return strongly_connected_components(e, n=G.num_vertices(e))
+
+
 def q_katz_k5(spark, sf_dir):
     """KATZ_K iterations of Katz centrality (alpha-attenuated walk
     counts, zero init); the oracle unrolls the identical raw-rank
@@ -727,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "hits_k5": q_hits_k5,
         "katz_k5": q_katz_k5,
+        "scc": q_scc,
         "clustering_coeff": q_clustering_coeff,
         "kcore": q_kcore,
         "degree_distribution": q_degree_distribution,
@@ -1274,6 +1286,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hits_k5": _hits_unrolled_sql(HITS_K),
         "katz_k5": _katz_unrolled_sql(KATZ_K, KATZ_ALPHA),
+        # SCC oracle: mutual reachability over the recursive transitive
+        # closure (feasible at sf scale: only ~100 supplier ids have
+        # out-edges, so closure size is O(|sources| x |V|)).
+        "scc": f"""
+            WITH RECURSIVE edges AS MATERIALIZED ({_EDGE_SQL}),
+            n AS (SELECT max(greatest(src, dst)) + 1 AS n FROM edges),
+            verts AS (SELECT unnest(generate_series(0,
+                (SELECT n - 1 FROM n)))::BIGINT AS id),
+            reach(a, b) AS (
+                SELECT src, dst FROM edges WHERE src <> dst
+                UNION
+                SELECT r.a, e.dst FROM reach r
+                JOIN edges e ON r.b = e.src WHERE e.src <> e.dst
+            ),
+            mutual AS (
+                SELECT r1.a, r1.b FROM reach r1
+                JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+            )
+            SELECT v.id, least(v.id, coalesce(min(m.b), v.id)) AS scc
+            FROM verts v LEFT JOIN mutual m ON m.a = v.id
+            GROUP BY v.id
+        """,
         "sssp": _sssp_unrolled_sql(SSSP_SOURCE, SSSP_ORACLE_ROUNDS),
         # directed reachability can need longer hop chains than the
         # symmetrized walk; rounds stay a safe multiple of the engine's

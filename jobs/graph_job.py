@@ -5,7 +5,7 @@ jobs/pagerank_job.py).
 
     spark-submit --py-files engine.zip jobs/graph_job.py \
         --edges /path/to/edges.parquet \
-        --algos cc,lpa,triangles,bfs,sssp,hits,katz,kcore,ppr,wpr,lcc,degdist \
+        --algos cc,lpa,triangles,bfs,sssp,hits,katz,kcore,ppr,scc,wpr,lcc,degdist \
         [--source 0] [--k 3] [--max-iter 20] [--out result.json]
 
 Every algorithm prints its summary into ONE JSON line, so the job is
@@ -30,7 +30,7 @@ def main() -> None:
     p.add_argument("--edges", required=True, help="parquet edge table (src,dst)")
     p.add_argument("--algos", default="cc,lpa,triangles",
                    help="comma list: cc,lpa,triangles,bfs,sssp,hits,"
-                        "katz,kcore,ppr,wpr,lcc,degdist")
+                        "katz,kcore,ppr,scc,wpr,lcc,degdist")
     p.add_argument("--master", default=None)
     p.add_argument("--source", type=int, default=0,
                    help="bfs/sssp/ppr source vertex")
@@ -53,7 +53,8 @@ def main() -> None:
     from pagerank_spark.operators import (
         bfs_depths, clustering_coefficients, connected_components,
         degree_distribution, hits, k_core, katz_centrality,
-        label_propagation, personalized_pagerank, shortest_paths)
+        label_propagation, personalized_pagerank, shortest_paths,
+        strongly_connected_components)
     from pagerank_spark.operators.triangles import triangles
     from pagerank_spark.operators.weighted import weighted_pagerank
 
@@ -79,7 +80,7 @@ def main() -> None:
 
     algos = {a.strip() for a in args.algos.split(",") if a.strip()}
     unknown = algos - {"cc", "lpa", "triangles", "bfs", "sssp", "hits",
-                       "katz", "kcore", "ppr", "wpr", "lcc", "degdist"}
+                       "katz", "kcore", "ppr", "scc", "wpr", "lcc", "degdist"}
     if unknown:
         raise SystemExit(f"unknown algos: {sorted(unknown)}")
 
@@ -131,6 +132,9 @@ def main() -> None:
             return {"iterations": r.iterations,
                     "top_id": top["id"], "top_pr": top["pr"]}
         run("ppr", _ppr)
+    if "scc" in algos:
+        run("scc", lambda: {"components": strongly_connected_components(
+            g.edges, n=g.n).select(F.countDistinct("scc")).first()[0]})
     if "wpr" in algos:
         def _wpr():
             r = weighted_pagerank(weighted_edges(), max_iter=args.max_iter)

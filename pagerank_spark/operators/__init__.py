@@ -6,6 +6,7 @@ from pagerank_spark.operators.triangles import triangle_count, triangles_per_ver
 from pagerank_spark.operators.bfs import bfs_depths
 from pagerank_spark.operators.hits import hits
 from pagerank_spark.operators.katz import katz_centrality, KatzResult
+from pagerank_spark.operators.scc import strongly_connected_components
 from pagerank_spark.operators.sssp import shortest_paths
 from pagerank_spark.operators.structure import (
     clustering_coefficients,
@@ -27,6 +28,7 @@ __all__ = [
     "katz_centrality",
     "KatzResult",
     "shortest_paths",
+    "strongly_connected_components",
     "clustering_coefficients",
     "k_core",
     "degree_distribution",

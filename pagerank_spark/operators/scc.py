@@ -1,0 +1,236 @@
+"""Strongly connected components: trim + coloring + backward marking.
+
+Beyond-reference directed-graph operator (the reference ships no
+component operator at all, `pagerank/src/lib/pagerank.cpp:28-293`;
+the mandated large-star/small-star CC in ``operators/components.py``
+is the UNDIRECTED face — this is its directed sibling).  Algorithm:
+the coloring method for distributed SCC (Orzan '04; the FW-BW-Trim
+family of Fleischer-Hendrickson-Pinar, also the shape used by
+Pregel-class systems), expressed as three DataFrame fixpoints:
+
+  1. TRIM — a vertex with no in-edges or no out-edges in the active
+     subgraph is a singleton SCC.  Peel iteratively (a chain of
+     singleton SCCs trims end-in); this resolves all DAG-like regions
+     without ever running the quadratic-ish phases on them.
+  2. COLOR — propagate min vertex id FORWARD along edges to fixpoint:
+     color(v) = min id that can reach v.  Each color class c is rooted
+     at c itself (no smaller id reaches c, else the class would carry
+     that smaller color).
+  3. MARK — from each root, walk edges BACKWARD restricted to the
+     root's color class: a marked vertex both is reached by the root
+     (same color) and reaches it (backward walk) — exactly SCC(root).
+     All roots are processed in one joint frontier loop.
+
+Assign marked vertices, remove them from the active subgraph, and
+repeat from TRIM.  Every outer round removes at least one whole SCC
+per color class, so outer rounds are bounded by the longest chain of
+SCCs in the condensation — small on real graphs once TRIM has eaten
+the DAG fringe.
+
+Known worst case (inherent to coloring-family SCC): a long chain of
+SCCs linked DOWN the id order collapses into one color class per
+outer round, so outer rounds scale with the condensation's chain
+length (tests/test_scc.py pins both this and the benign up-order
+face).  TRIM eats the DAG fringe first, which is what keeps real
+web/link graphs (one giant SCC + DAG periphery, per Broder's bow-tie)
+to a handful of outer rounds.
+
+Scale: every step is existence/min/distinct — duplicate-insensitive,
+so the input is never deduped.  State tables are |V|-row; the active
+edge set only shrinks.  Per-round lineage is truncated (lazy
+localCheckpoint fused into the round's convergence aggregate, exactly
+like bfs/k_core), with the shared durable CheckpointManager cadence
+resetting plan + stats growth across ALL loops on one global round
+counter.  Frontier/state sides of joins are broadcast under the same
+explicit bound the traversal operators use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pagerank_spark.checkpoint import CheckpointManager
+
+# |V|-row state sides at or below this bound are broadcast into the
+# cached edge partitions (same bound class as bfs/pagerank).
+BROADCAST_MAX_STATE = 5_000_000
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    n: int | None = None,
+    checkpoint: CheckpointManager | None = None,
+    checkpoint_interval: int = 8,
+    max_rounds: int = 100_000,
+) -> DataFrame:
+    """(id, scc) over the dense domain [0, N): scc is the smallest
+    vertex id in the strongly connected component (the same canonical
+    label convention as ``connected_components``).  Vertices never
+    mentioned in ``edges`` are their own singleton SCCs (domain quirk
+    Q3, as in ``components_with_domain``)."""
+    spark = edges.sparkSession
+    e = edges.select(F.col("src").cast("bigint").alias("src"),
+                     F.col("dst").cast("bigint").alias("dst"))
+    if n is None:
+        row = e.agg(F.max(F.greatest("src", "dst")).alias("m")).first()
+        n = 0 if row is None or row["m"] is None else int(row["m"]) + 1
+    if n == 0:
+        return spark.createDataFrame([], "id BIGINT, scc BIGINT")
+    if checkpoint is None:
+        import tempfile
+
+        checkpoint = CheckpointManager(
+            spark, tempfile.mkdtemp(prefix="scc_ckpt_"),
+            interval=checkpoint_interval)
+
+    # Self-loops never split an SCC; drop them.  No dedupe: TRIM is an
+    # existence check, COLOR a min-agg, MARK a distinct — all
+    # duplicate-insensitive (module docstring).
+    active_e = e.where(F.col("src") != F.col("dst")).persist()
+    active_v = spark.range(0, n).localCheckpoint(eager=True)
+    n_active = n
+    assigned = spark.createDataFrame([], "id BIGINT, scc BIGINT")
+    have_assigned = False
+    rnd = 0
+
+    def bcast(df, rows):
+        return F.broadcast(df) if rows <= BROADCAST_MAX_STATE else df
+
+    def tick(state_df, extra=None):
+        """Durable cadence shared by every loop below: on-cadence
+        rounds write+read the round's carried state (plan/stats reset
+        + a metrics row); off-cadence rounds lazily truncate so the
+        materialization fuses into the round's convergence aggregate."""
+        nonlocal rnd
+        rnd += 1
+        if checkpoint.should_checkpoint(rnd):
+            out = checkpoint.write_state(state_df, rnd).persist()
+            checkpoint.write_metrics(
+                rnd, {"active_vertices": float(n_active), **(extra or {})})
+            return out
+        return state_df.localCheckpoint(eager=False)
+
+    def restrict_edges(survivors, srows):
+        """Active edges with BOTH endpoints in ``survivors``."""
+        return (
+            active_e
+            .join(bcast(survivors.withColumnRenamed("id", "src"), srows),
+                  "src", "left_semi")
+            .join(bcast(survivors.withColumnRenamed("id", "dst"), srows),
+                  "dst", "left_semi")
+            .select("src", "dst")
+        )
+
+    while rnd < max_rounds and n_active > 0:
+        # ---------------- TRIM ----------------
+        while rnd < max_rounds:
+            has_out = active_e.select(F.col("src").alias("id")).distinct()
+            has_in = active_e.select(F.col("dst").alias("id")).distinct()
+            keep = (
+                active_v.join(has_out, "id", "left_semi")
+                .join(has_in, "id", "left_semi")
+                .localCheckpoint(eager=True)    # |V|-row
+            )
+            k = keep.count()
+            if k == n_active:
+                break
+            peeled = active_v.join(keep, "id", "left_anti").select(
+                "id", F.col("id").alias("scc"))
+            assigned = tick(assigned.unionByName(peeled) if have_assigned
+                            else peeled, {"phase": 1.0})
+            have_assigned = True
+            active_v, n_active = keep, k
+            if k == 0:
+                break
+            nxt = restrict_edges(keep, k).persist()
+            nxt.count()
+            active_e.unpersist()
+            active_e = nxt
+        if n_active == 0:
+            break
+
+        # ---------------- COLOR ----------------
+        colors = active_v.select("id", F.col("id").alias("color"))
+        colors = colors.localCheckpoint(eager=True)
+        while rnd < max_rounds:
+            upd = (
+                active_e.join(
+                    bcast(colors.select(F.col("id").alias("src"),
+                                        F.col("color").alias("c")),
+                          n_active),
+                    "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("c").alias("cmin"))
+            )
+            newc = (
+                colors.join(upd, "id", "left")
+                .select(
+                    "id",
+                    F.least(F.col("color"),
+                            F.coalesce(F.col("cmin"), F.col("color")))
+                    .alias("color"),
+                    (F.coalesce(F.col("cmin"), F.col("color"))
+                     < F.col("color")).cast("long").alias("chg"))
+            )
+            newc = tick(newc, {"phase": 2.0})
+            changed = int(newc.agg(
+                F.sum("chg").alias("s")).first()["s"] or 0)
+            colors = newc.select("id", "color")
+            if changed == 0:
+                break
+
+        # ---------------- MARK ----------------
+        marked = colors.where(F.col("color") == F.col("id"))
+        marked = marked.localCheckpoint(eager=True)      # (id, color)
+        frontier = marked
+        f_rows = marked.count()
+        m_rows = f_rows
+        while f_rows > 0 and rnd < max_rounds:
+            preds = (
+                active_e.join(
+                    bcast(frontier.select(F.col("id").alias("dst"),
+                                          F.col("color").alias("fc")),
+                          f_rows),
+                    "dst")
+                .select("src", "fc").distinct()
+                .join(bcast(colors.select(F.col("id").alias("src"),
+                                          F.col("color").alias("sc")),
+                            n_active),
+                      "src")
+                .where(F.col("sc") == F.col("fc"))
+                .select(F.col("src").alias("id"), F.col("fc").alias("color"))
+                .join(marked, "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            f_rows = preds.count()
+            if f_rows == 0:
+                break
+            frontier = preds
+            marked = tick(marked.unionByName(preds), {"phase": 3.0})
+            m_rows += f_rows
+
+        # ---------------- ASSIGN & SHRINK ----------------
+        found = marked.select("id", F.col("color").alias("scc"))
+        assigned = tick(assigned.unionByName(found) if have_assigned
+                        else found, {"phase": 4.0})
+        have_assigned = True
+        remaining = (
+            active_v.join(bcast(marked.select("id"), m_rows),
+                          "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n_active = remaining.count()
+        active_v = remaining
+        if n_active == 0:
+            break
+        nxt = restrict_edges(remaining, n_active).persist()
+        nxt.count()
+        active_e.unpersist()
+        active_e = nxt
+
+    active_e.unpersist()
+    if not have_assigned:
+        return spark.createDataFrame([], "id BIGINT, scc BIGINT")
+    # Materialize the result so callers never re-trigger the loop's
+    # lineage after the caches above are released.
+    return assigned.localCheckpoint(eager=True)
