@@ -669,6 +669,22 @@ def q_repo_pagerank_k3(spark, sf_dir):
     )
 
 
+def q_events_decayed(spark, sf_dir):
+    """Per-user exponentially-decayed activity score (1h half-life),
+    the batch face of the applyInPandasWithState stateful operator
+    (streaming.decayed_activity_stream; equality pinned in pytest).
+    Scores depend only on time DIFFERENCES, so Spark/DuckDB epoch
+    conventions cancel."""
+    from pagerank_spark import streaming
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts")
+    out = streaming.decayed_activity(ev)
+    return out.select(
+        "user_id",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        "n_events", F.round("score", ROUND).alias("score"))
+
+
 def q_events_sessions(spark, sf_dir):
     """Sessionize events per user with a 30-minute inactivity gap
     (gaps-and-islands via lag + cumulative sum — the batch face of
@@ -764,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_edges": q_repo_edges,
         "repo_vertex_ids": q_repo_vertex_ids,
         "repo_pagerank_k3": q_repo_pagerank_k3,
+        "events_decayed": q_events_decayed,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
     }
@@ -1752,6 +1769,22 @@ def oracle_sql() -> dict[str, str]:
             {_PR3_CTES}
             SELECT i.name, round(p.pr, 9) AS pr
             FROM p3 p JOIN ids i ON p.id = i.id
+        """,
+        # lam must be the IDENTICAL double in both engines (ln 2 / 1h
+        # in ms); per-term exps are then bit-equal and only the sum
+        # order differs (absorbed by the ROUND).
+        "events_decayed": f"""
+            WITH e AS (SELECT user_id, ts, epoch_ms(ts) AS ms FROM events),
+            mx AS (SELECT user_id, max(ms) AS mxms, max(ts) AS mxts,
+                          count(*)::BIGINT AS n
+                   FROM e GROUP BY user_id)
+            SELECT e.user_id,
+                   strftime(any_value(mx.mxts),
+                            '%Y-%m-%d %H:%M:%S') AS last_ts,
+                   any_value(mx.n) AS n_events,
+                   round(sum(exp(-{0.6931471805599453 / 3_600_000.0!r}
+                                 * (mx.mxms - e.ms))), {ROUND}) AS score
+            FROM e JOIN mx USING (user_id) GROUP BY e.user_id
         """,
         "events_hourly": f"""
             SELECT strftime(date_trunc('hour', ts),

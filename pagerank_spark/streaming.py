@@ -77,6 +77,112 @@ def sessionized(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+DECAY_HALF_LIFE_MS = 3_600_000.0  # 1 hour
+
+
+def decayed_activity(events: DataFrame,
+                     half_life_ms: float = DECAY_HALF_LIFE_MS) -> DataFrame:
+    """Per-user exponentially-decayed activity score — the CUSTOM
+    stateful operator of the suite (nothing built-in expresses it):
+
+        score(user) = sum_i 2^(-(t_max - t_i) / half_life)
+
+    anchored at the user's latest event, so every event contributes a
+    half-life-decayed unit of activity.  The sum is a commutative
+    monoid under the merge
+
+        t' = max(t_a, t_b);  s' = s_a * 2^(-(t'-t_a)/h) + s_b * 2^(-(t'-t_b)/h)
+
+    which makes the score independent of event order AND batch
+    boundaries — late/out-of-order arrival folds in exactly.
+
+    This is the BATCH face (pure JVM expressions: one max-agg, one
+    broadcast-back join, one sum-agg — no Python).  The streaming face
+    with identical semantics is :func:`decayed_activity_stream`
+    (``applyInPandasWithState``); their equality is pinned in
+    tests/test_streaming.py.  Output: (user_id, last_ts, n_events,
+    score).
+    """
+    # events carry TIMESTAMP_NTZ; the score depends only on time
+    # DIFFERENCES, so the tz applied by the cast cancels out.
+    e = events.select(
+        "user_id", "ts",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"))
+    mx = e.groupBy("user_id").agg(F.max("ms").alias("mxms"))
+    lam = 0.6931471805599453 / half_life_ms          # ln 2 / h
+    return (
+        e.join(mx, "user_id")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("last_ts"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.exp(-lam * (F.col("mxms") - F.col("ms"))))
+             .alias("score"))
+    )
+
+
+def decayed_activity_stream(events: DataFrame,
+                            half_life_ms: float = DECAY_HALF_LIFE_MS,
+                            watermark: str = "2 hours") -> DataFrame:
+    """Streaming face of :func:`decayed_activity` via
+    ``applyInPandasWithState``: per user the state is the pair
+    (t_max_ms, score) plus the event count, merged per micro-batch
+    with the commutative formula above — so the emitted score after
+    draining a stream equals the batch answer regardless of how events
+    were split into batches (asserted in tests).  Update output mode:
+    each batch emits one refreshed row per user seen in that batch.
+
+    State is two doubles + a long per user — bounded by |users|, the
+    smallest state class a per-key stateful operator can have (no
+    per-event retention; a watermark is unnecessary for correctness
+    because the merge is total, but one is applied to bound the
+    no-data timeout semantics on real feeds).
+    """
+    import math
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    lam = math.log(2.0) / half_life_ms
+
+    def merge(key, pdf_iter, state: GroupState):
+        t_max, score, n = (state.get if state.exists
+                           else (float("-inf"), 0.0, 0))
+        for pdf in pdf_iter:
+            ms = pdf["ms"].to_numpy(dtype="float64")
+            if len(ms) == 0:
+                continue
+            b_max = float(ms.max())
+            import numpy as np
+
+            b_score = float(np.exp(-lam * (b_max - ms)).sum())
+            t = max(t_max, b_max)
+            score = (score * math.exp(-lam * (t - t_max))
+                     if t_max != float("-inf") else 0.0) \
+                + b_score * math.exp(-lam * (t - b_max))
+            t_max = t
+            n += len(ms)
+        state.update((t_max, score, n))
+        yield pd.DataFrame({"user_id": [key[0]],
+                            "last_ts_ms": [int(t_max)],
+                            "n_events": [n],
+                            "score": [score]})
+
+    src = events.withWatermark("ts", watermark)
+    return (
+        src.select("user_id",
+                   F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            merge,
+            outputStructType=("user_id BIGINT, last_ts_ms BIGINT, "
+                              "n_events BIGINT, score DOUBLE"),
+            stateStructType="t_max DOUBLE, score DOUBLE, n BIGINT",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+    )
+
+
 def read_edges_stream(spark: SparkSession, path: str) -> DataFrame:
     """Tail a directory of edge parquet files (an edge log)."""
     return spark.readStream.schema(EDGES_SCHEMA).parquet(path)

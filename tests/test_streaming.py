@@ -77,3 +77,40 @@ def test_streaming_out_degrees_equals_batch(spark, tmp_path):
     streaming.run_stream_to_memory(deg, "deg_counts", "complete")
     got = {r["id"]: r["out_deg"] for r in spark.table("deg_counts").collect()}
     assert got == want
+
+
+def test_decayed_activity_stream_equals_batch(spark, tmp_path):
+    # The custom applyInPandasWithState operator: draining the chunked
+    # stream (3 micro-batches, NOT time-ordered — chunks split by
+    # event_id) must reproduce the batch face exactly, because the
+    # decayed-score merge is commutative across batches.
+    import math
+
+    batch_src, glob = _stage_event_chunks(spark, tmp_path)
+    want = {r["user_id"]: (r["ms"], r["n_events"], r["score"])
+            for r in streaming.decayed_activity(batch_src)
+            .withColumn("ms", F.unix_millis(
+                F.col("last_ts").cast("timestamp"))).collect()}
+
+    stream = streaming.read_events_stream(spark, glob,
+                                          max_files_per_trigger=1)
+    act = streaming.decayed_activity_stream(stream)
+    streaming.run_stream_to_memory(act, "decayed_tbl", "update")
+    rows = spark.table("decayed_tbl").collect()
+    # update mode appends one refreshed row per user per batch; the
+    # final state is the row with the largest cumulative n_events.
+    got = {}
+    for r in rows:
+        cur = got.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[1]:
+            got[r["user_id"]] = (r["last_ts_ms"], r["n_events"], r["score"])
+    assert got.keys() == want.keys()
+    for u, (ms, n, score) in want.items():
+        g_ts, g_n, g_score = got[u]
+        assert g_n == n
+        assert g_ts == ms
+        assert math.isclose(g_score, score, rel_tol=1e-9)
+
+    # sanity bounds: every event contributes (0, 1] to its user's score
+    for u, (_, n, score) in want.items():
+        assert 0.0 < score <= n + 1e-9
