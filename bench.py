@@ -32,7 +32,7 @@ def main() -> None:
     from pagerank_spark.operators import (
         bfs_depths, clustering_coefficients, connected_components, hits,
         k_core, katz_centrality, pagerank, personalized_pagerank,
-        shortest_paths)
+        shortest_paths, strongly_connected_components)
     from pagerank_spark.operators.triangles import triangles
     from pagerank_spark.operators.labelprop import label_propagation
     from pagerank_spark.operators.weighted import weighted_pagerank
@@ -98,6 +98,8 @@ def main() -> None:
                   ((F.col("src") + F.col("dst")) % 7 + 1).cast("double")),
               [1]).count())
     timed("kcore_40", lambda: k_core(g.edges, 40).count())
+    timed("scc",
+          lambda: strongly_connected_components(g.edges, n=g.n).count())
     timed("clustering_coeff",
           lambda: clustering_coefficients(g.edges).count())
 
