@@ -72,6 +72,13 @@ SSSP_SOURCE = 1  # sssp source vertex, both engines
 SSSP_ORACLE_ROUNDS = 25
 PPR_SOURCE = 1  # ppr_k3 personalization source, both engines
 EXACT_DUP_SAMPLE_IDS = 8  # bounded per-digest member sample, both engines
+TFIDF_K = 3        # doc_tfidf_topk neighbors per document, both engines
+# vocabulary df cap (stop-word prune), both engines; the synthetic
+# corpus has a tiny vocabulary where most words hit df > half the
+# corpus, so the cap sits at 80% to keep a 30-term vocabulary covering
+# every document (probed at sf0.01) while still pruning the 470+-df
+# stop-terms that would dominate the sparse join
+TFIDF_MAX_DF = 400
 REPO_BUCKETS = 40  # synthetic repo-files corpus: repos = doc_id % this
 
 # ------------------------------------------------------------------ helpers
@@ -460,6 +467,17 @@ def q_doc_fingerprints(spark, sf_dir):
     return textstats.fingerprints(_docs(spark, sf_dir))
 
 
+def q_doc_tfidf_topk(spark, sf_dir):
+    """Top-TFIDF_K most tf-idf-cosine-similar documents per document
+    (smooth idf, L2 norm, df-capped vocabulary); oracle recomputes the
+    identical weighting + sparse inner-product join in SQL."""
+    from pagerank_spark.pipeline.tfidf import tfidf_topk
+
+    out = tfidf_topk(_docs(spark, sf_dir), k=TFIDF_K, max_df=TFIDF_MAX_DF)
+    return out.select("doc_id", "neighbor_id", "sim",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
 def q_exact_dup_groups(spark, sf_dir):
     """Exact-dup groups with exact n_docs and a BOUNDED sample of the
     EXACT_DUP_SAMPLE_IDS smallest member ids (no unbounded per-group
@@ -763,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_language": q_doc_language,
         "doc_fingerprints": q_doc_fingerprints,
+        "doc_tfidf_topk": q_doc_tfidf_topk,
         "exact_dup_groups": q_exact_dup_groups,
         "exact_dup_stats": q_exact_dup_stats,
         "docs_deduped": q_docs_deduped,
@@ -1425,6 +1444,40 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang,
                    hits::BIGINT AS marker_hits
             FROM ranked WHERE rn = 1
+        """,
+        "doc_tfidf_topk": rf"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split_regex(
+                    trim(lower(text)), '\s+')) AS term
+                FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                   FROM toks WHERE term <> '' GROUP BY doc_id, term),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                    GROUP BY term HAVING count(*) <= {TFIDF_MAX_DF}),
+            w AS (SELECT tf.doc_id, tf.term,
+                         tf.tf * (ln((1 + (SELECT n FROM nn))
+                                     / (1 + dft.df)) + 1) AS w
+                  FROM tf JOIN dft USING (term)),
+            nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm
+                    FROM w GROUP BY doc_id),
+            v AS MATERIALIZED (
+                SELECT w.doc_id, w.term, w.w / nrm.nrm AS w
+                FROM w JOIN nrm USING (doc_id)),
+            pairs AS (SELECT va.doc_id AS a, vb.doc_id AS b,
+                             round(sum(va.w * vb.w), 6) AS sim
+                      FROM v va JOIN v vb
+                        ON va.term = vb.term AND va.doc_id < vb.doc_id
+                      GROUP BY va.doc_id, vb.doc_id),
+            bothdir AS (SELECT a AS doc_id, b AS neighbor_id, sim FROM pairs
+                        UNION ALL
+                        SELECT b, a, sim FROM pairs),
+            r AS (SELECT doc_id, neighbor_id, sim,
+                         row_number() OVER (PARTITION BY doc_id
+                             ORDER BY sim DESC, neighbor_id) AS rank
+                  FROM bothdir)
+            SELECT doc_id, neighbor_id, sim, rank::BIGINT AS rank
+            FROM r WHERE rank <= {TFIDF_K}
         """,
         "doc_fingerprints": """
             SELECT doc_id,
