@@ -36,7 +36,7 @@ def main() -> None:
     from pagerank_spark.operators.triangles import triangles
     from pagerank_spark.operators.labelprop import label_propagation
     from pagerank_spark.operators.weighted import weighted_pagerank
-    from pagerank_spark.pipeline import dedup, similarity, textstats
+    from pagerank_spark.pipeline import dedup, similarity, textstats, tfidf
 
     spark = get_spark(
         app_name="pagerank_spark_bench",
@@ -130,6 +130,10 @@ def main() -> None:
     timed("dedup_clusters",
           lambda: dedup.near_dup_clusters(
               docs, threshold=0.8, max_df=100).count())
+    # df cap proportional to corpus size (80%, the probed sf0.01 ratio)
+    timed("tfidf_topk",
+          lambda: tfidf.tfidf_topk(docs, k=3,
+                                   max_df=int(0.8 * docs.count())).count())
     timed("simhash_pairs",
           lambda: dedup.simhash_near_pairs(docs, max_hamming=3).count())
 

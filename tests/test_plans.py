@@ -169,3 +169,21 @@ def test_embedding_near_dups_shipped_path_no_cartesian(spark):
     brute = _physical(dedup.embedding_near_dup_pairs(
         emb, threshold=0.9, method="brute"))
     assert "CartesianProduct" in brute  # the assertion above is sensitive
+
+
+def test_tfidf_topk_no_cartesian(spark):
+    # The pairwise similarity is a term equi-join (sort-merge/hash),
+    # never an all-pairs product.
+    from pagerank_spark.pipeline import tfidf
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c e"), (2, "x y z")],
+        "doc_id BIGINT, text STRING")
+    t = tfidf.tfidf_terms(docs)
+    a = t.selectExpr("doc_id AS a", "term", "w AS wa")
+    b = t.selectExpr("doc_id AS b", "term", "w AS wb")
+    from pyspark.sql import functions as F
+
+    pairs = (a.join(b, "term").where(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.sum(F.col("wa") * F.col("wb"))))
+    assert "CartesianProduct" not in _physical(pairs)
