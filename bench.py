@@ -130,10 +130,16 @@ def main() -> None:
     timed("dedup_clusters",
           lambda: dedup.near_dup_clusters(
               docs, threshold=0.8, max_df=100).count())
-    # df cap proportional to corpus size (80%, the probed sf0.01 ratio)
+    # The synthetic corpus is 31 quasi-stop terms (30 of them in ~78%
+    # of documents — probed in DuckDB), so FULL-corpus tf-idf pairing
+    # is inherently dense: ~n^2/2 scored pairs no matter the join
+    # strategy (59 s at 5k docs).  Bench a deterministic 1.5k-doc
+    # slice for unit throughput; on a real Zipfian vocabulary the
+    # df cap binds and the sparse join is the right plan.
+    tfidf_docs = docs.where(F.col("doc_id") < 1500)
     timed("tfidf_topk",
-          lambda: tfidf.tfidf_topk(docs, k=3,
-                                   max_df=int(0.8 * docs.count())).count())
+          lambda: tfidf.tfidf_topk(tfidf_docs, k=3,
+                                   max_df=1200).count())
     timed("simhash_pairs",
           lambda: dedup.simhash_near_pairs(docs, max_hamming=3).count())
 
