@@ -73,6 +73,9 @@ SSSP_ORACLE_ROUNDS = 25
 PPR_SOURCE = 1  # ppr_k3 personalization source, both engines
 EXACT_DUP_SAMPLE_IDS = 8  # bounded per-digest member sample, both engines
 TFIDF_K = 3        # doc_tfidf_topk neighbors per document, both engines
+IVF_CENTROIDS = 4  # ann_ivf_topk coarse-quantizer cells, both engines
+IVF_ITERS = 2      # Lloyd rounds, both engines
+IVF_PROBES = 2     # cells probed per query, both engines
 # vocabulary df cap (stop-word prune), both engines; the synthetic
 # corpus has a tiny vocabulary where most words hit df > half the
 # corpus, so the cap sits at 80% to keep a 30-term vocabulary covering
@@ -564,6 +567,23 @@ def q_ann_topk(spark, sf_dir):
                       F.col("rank").cast("bigint").alias("rank"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-indexed ANN: deterministic Lloyd coarse quantizer (seeded
+    by the smallest vec_ids, quantized distances/means), n_probes
+    nearest cells scored per query; oracle unrolls the identical
+    Lloyd rounds + probe + score chain in SQL."""
+    from pagerank_spark.pipeline import similarity
+
+    emb = _embs(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.ivf_topk(emb, queries, k=5,
+                              n_centroids=IVF_CENTROIDS,
+                              n_iters=IVF_ITERS, n_probes=IVF_PROBES)
+    return out.select("query_id", "neighbor_id", "cosine",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     # Oracle-checked: the hyperplane signs are md5-derived
     # (similarity._plane_signs), so the bucketing — and therefore the
@@ -790,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,  # oracle via _ivf_unrolled_sql
         "ann_lsh_topk": q_ann_lsh_topk,
         "simhash_near_pairs": q_simhash_near_pairs,
         "media_metadata": q_media_metadata,
@@ -947,6 +968,78 @@ def _katz_unrolled_sql(k: int, alpha: float) -> str:
                      1.0 + {alpha!r}::DOUBLE * coalesce(g.c, 0) AS katz
                      FROM verts v LEFT JOIN g{i} g ON v.id = g.id)""")
     parts.append(f"\nSELECT id, round(katz, {ROUND}) AS katz FROM x{k}")
+    return "".join(parts)
+
+
+def _ivf_unrolled_sql(n_centroids: int, n_iters: int, n_probes: int,
+                      topk: int) -> str:
+    """Generate the unrolled DuckDB IVF chain mirroring
+    ``similarity.ivf_topk``: seed centroids = embeddings of the
+    n_centroids smallest vec_ids; per Lloyd round argmin-assign on
+    round(L2^2, 6) with cluster tie-break and recompute round(avg, 9)
+    means (clusters losing every member keep the previous centroid);
+    final assignment with the converged centroids, n_probes nearest
+    cells per query, cosine + rank over the probed candidates."""
+    parts = [
+        "WITH emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e"
+        " FROM embeddings),",
+        "ex AS MATERIALIZED (SELECT vec_id,"
+        " unnest(generate_series(0, len(e) - 1)) AS pos,"
+        " unnest(e) AS v FROM emb),",
+        f"""c0 AS MATERIALIZED (
+            SELECT s.rn - 1 AS cluster, x.pos, x.v
+            FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+                  FROM (SELECT vec_id FROM emb
+                        ORDER BY vec_id LIMIT {n_centroids})) s
+            JOIN ex x USING (vec_id))""",
+    ]
+    for r in range(1, n_iters + 1):
+        parts.append(f""",
+            d{r} AS (SELECT x.vec_id, c.cluster,
+                            round(sum((x.v - c.v) * (x.v - c.v)), 6) AS d
+                     FROM ex x JOIN c{r - 1} c USING (pos)
+                     GROUP BY x.vec_id, c.cluster),
+            a{r} AS MATERIALIZED (SELECT vec_id, cluster FROM (
+                     SELECT vec_id, cluster, row_number() OVER (
+                         PARTITION BY vec_id ORDER BY d, cluster) AS rn
+                     FROM d{r}) WHERE rn = 1),
+            c{r} AS MATERIALIZED (
+                     SELECT a.cluster, x.pos, round(avg(x.v), 9) AS v
+                     FROM a{r} a JOIN ex x USING (vec_id)
+                     GROUP BY a.cluster, x.pos
+                     UNION ALL
+                     SELECT p.cluster, p.pos, p.v FROM c{r - 1} p
+                     WHERE p.cluster NOT IN (
+                         SELECT DISTINCT cluster FROM a{r}))""")
+    parts.append(f""",
+        df AS (SELECT x.vec_id, c.cluster,
+                      round(sum((x.v - c.v) * (x.v - c.v)), 6) AS d
+               FROM ex x JOIN c{n_iters} c USING (pos)
+               GROUP BY x.vec_id, c.cluster),
+        af AS MATERIALIZED (SELECT vec_id, cluster FROM (
+               SELECT vec_id, cluster, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY d, cluster) AS rn
+               FROM df) WHERE rn = 1),
+        pr AS (SELECT vec_id AS query_id, cluster FROM (
+               SELECT vec_id, cluster, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY d, cluster) AS rn
+               FROM df WHERE vec_id < 10) WHERE rn <= {n_probes}),
+        cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+                 FROM pr p JOIN af a USING (cluster)
+                 WHERE a.vec_id <> p.query_id),
+        scored AS (SELECT c.query_id, c.neighbor_id,
+                          round(list_dot_product(q.e, n.e)
+                                / (sqrt(list_dot_product(q.e, q.e))
+                                   * sqrt(list_dot_product(n.e, n.e))), 6)
+                              AS cosine
+                   FROM cand c JOIN emb q ON c.query_id = q.vec_id
+                   JOIN emb n ON c.neighbor_id = n.vec_id),
+        ranked AS (SELECT query_id, neighbor_id, cosine, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank
+        FROM ranked WHERE rank <= {topk}""")
     return "".join(parts)
 
 
@@ -1614,6 +1707,8 @@ def oracle_sql() -> dict[str, str]:
                            * sqrt(list_dot_product(eb.e, eb.e))), 6)
                   >= {EMB_NEAR_DUP_THRESHOLD}
         """,
+        "ann_ivf_topk": _ivf_unrolled_sql(
+            IVF_CENTROIDS, IVF_ITERS, IVF_PROBES, 5),
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS emb
                        FROM embeddings WHERE vec_id < 10),

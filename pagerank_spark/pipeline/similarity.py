@@ -218,3 +218,113 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+# ------------------------------------------------------------------ IVF
+
+# Cross-engine drift control for the Lloyd iterations: assignment
+# distances and centroid components are quantized so last-ulp
+# summation-order differences between Spark and the SQL oracle cannot
+# flip an argmin or compound across rounds.
+IVF_DIST_ROUND = 6
+IVF_CENTROID_ROUND = 9
+
+
+def _dist2(emb, centroid: list[float]):
+    arr = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(F.zip_with(emb, arr, lambda x, c: (x - c) * (x - c)),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _dist_structs(emb, centroids: list[list[float]]):
+    return [F.struct(F.round(_dist2(emb, c), IVF_DIST_ROUND).alias("d"),
+                     F.lit(i).alias("c"))
+            for i, c in enumerate(centroids)]
+
+
+def ivf_centroids(embeddings: DataFrame, n_centroids: int = 8,
+                  n_iters: int = 3) -> list[list[float]]:
+    """Deterministic Lloyd k-means coarse quantizer for the IVF index.
+
+    Init: the embeddings of the ``n_centroids`` SMALLEST vec_ids
+    (cluster i = i-th smallest) — seed-free and oracle-reproducible.
+    Per round: argmin-assign on quantized L2² (ties → smallest
+    cluster), element-wise mean per cluster quantized to
+    IVF_CENTROID_ROUND; a cluster that loses every member keeps its
+    previous centroid.  Assignment is a pure JVM expression over the
+    broadcast-as-literals centroids (no shuffle); the mean is one
+    posexplode + hash aggregation per round.  The only driver collects
+    are the k seed rows and the k×dims mean cells — constant-size.
+    """
+    seed_rows = (embeddings.orderBy("vec_id").limit(n_centroids)
+                 .select("embedding").collect())
+    cents = [[float(v) for v in r["embedding"]] for r in seed_rows]
+    if not cents:
+        return []
+    for _ in range(n_iters):
+        # two selects: a posexplode with a multi-alias in the SAME
+        # projection clobbers sibling struct field names (Spark 4),
+        # breaking the ["c"] extraction inside the argmin
+        assigned = embeddings.select(
+            "embedding",
+            F.least(*_dist_structs(F.col("embedding"), cents))["c"]
+            .alias("cluster"))
+        assigned = assigned.select(
+            "cluster", F.posexplode("embedding").alias("pos", "v"))
+        mean_rows = (assigned.groupBy("cluster", "pos")
+                     .agg(F.round(F.avg("v"), IVF_CENTROID_ROUND)
+                          .alias("v")).collect())
+        nxt = [list(c) for c in cents]
+        for r in mean_rows:
+            nxt[r["cluster"]][r["pos"]] = float(r["v"])
+        cents = nxt
+    return cents
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 8, n_iters: int = 3,
+             n_probes: int = 2) -> DataFrame:
+    """IVF approximate top-k cosine neighbors — the second scale path
+    next to ``lsh_topk`` (inverted-file coarse quantization, the
+    IVFFlat scheme: Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", PAMI'11, minus the PQ refinement).
+
+    Index: every vector is assigned to its nearest Lloyd centroid
+    (one narrow JVM pass — at 1e9 vectors nothing shuffles until the
+    candidate join).  Query: each query probes its ``n_probes``
+    nearest centroids and scores ONLY vectors in those cells —
+    |Q| × |N| × n_probes / n_centroids candidate pairs instead of the
+    brute-force |Q| × |N|, via a plain equi-join on the cell id.
+    Returns (query_id, neighbor_id, cosine, rank) with the same
+    rounding/tie contract as ``cosine_topk``; recall is governed by
+    n_probes/n_centroids (asserted against brute force in tests).
+    """
+    cents = ivf_centroids(embeddings, n_centroids, n_iters)
+    if not cents:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE, "
+                "rank BIGINT")
+    data = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.least(*_dist_structs(F.col("embedding"), cents))["c"]
+        .alias("cluster"))
+    probes = queries.select(
+        "query_id", F.col("embedding").alias("q_emb"),
+        F.explode(F.slice(F.array_sort(F.array(
+            *_dist_structs(F.col("embedding"), cents))), 1, n_probes))
+        .alias("p")).select("query_id", "q_emb", F.col("p")["c"]
+                            .alias("cluster"))
+    scored = (
+        probes.join(data, "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(_cosine(F.col("q_emb"), F.col("n_emb")), 6)
+                .alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

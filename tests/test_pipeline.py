@@ -588,3 +588,72 @@ def test_embedding_near_dups_max_bucket_cap(spark):
     assert capped.count() == 0
     uncapped = dd.embedding_near_dup_pairs(emb, threshold=0.99)
     assert uncapped.count() == 20 * 19 // 2
+
+
+def _toy_embs(spark):
+    # three tight clusters around orthogonal axes (16-dim)
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(30):
+        base = [0.0] * 16
+        base[i % 3] = 10.0
+        rows.append((i, [v + rng.uniform(-0.1, 0.1)
+                         for v in base]))
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+
+def test_ivf_centroids_deterministic(spark):
+    from pagerank_spark.pipeline.similarity import ivf_centroids
+
+    emb = _toy_embs(spark)
+    a = ivf_centroids(emb, n_centroids=3, n_iters=2)
+    b = ivf_centroids(emb, n_centroids=3, n_iters=2)
+    assert a == b
+    assert len(a) == 3 and all(len(c) == 16 for c in a)
+
+
+def test_ivf_full_probe_equals_brute(spark):
+    # probing every cell degenerates to exact search
+    from pagerank_spark.pipeline.similarity import cosine_topk, ivf_topk
+
+    emb = _toy_embs(spark)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    ivf = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+           for r in ivf_topk(emb, q, k=4, n_centroids=3, n_iters=2,
+                             n_probes=3).collect()}
+    brute = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+             for r in cosine_topk(emb, q, k=4).collect()}
+    assert ivf == brute
+
+
+def test_ivf_clusters_separate_axes(spark):
+    # every neighbor of a probed-cell query shares its axis cluster
+    from pagerank_spark.pipeline.similarity import ivf_topk
+
+    emb = _toy_embs(spark)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_topk(emb, q, k=3, n_centroids=3, n_iters=3, n_probes=1)
+    for r in out.collect():
+        assert r["neighbor_id"] % 3 == r["query_id"] % 3
+        assert r["cosine"] > 0.99
+
+
+def test_ivf_empty_cluster_keeps_centroid(spark):
+    # 2 distinct points, 3 seed centroids: seeds 0 and 1 coincide in
+    # cluster terms, so one cell must go empty and keep its centroid
+    # (no crash, no NaN); all vectors still retrievable.
+    from pagerank_spark.pipeline.similarity import ivf_topk
+
+    rows = [(i, [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0])
+            for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    q = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_topk(emb, q, k=4, n_centroids=3, n_iters=2, n_probes=3)
+    got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    assert all((0, n) in got for n in (2, 4, 6, 8))
+    assert all((1, n) in got for n in (3, 5, 7, 9))
