@@ -147,6 +147,9 @@ def main() -> None:
         F.col("vec_id").alias("query_id"), "embedding")
     timed("ann_topk",
           lambda: similarity.cosine_topk(emb, queries_df, k=10).count())
+    timed("ann_ivf_topk",
+          lambda: similarity.ivf_topk(emb, queries_df, k=10, n_centroids=16,
+                                      n_iters=3, n_probes=4).count())
     timed("ann_lsh_topk",
           lambda: similarity.lsh_topk(emb, queries_df, k=10,
                                       n_planes=4, n_tables=8).count())
