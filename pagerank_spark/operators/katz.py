@@ -122,11 +122,16 @@ def _katz_loop(
     n = graph.n
     it = 0
     metrics: list[dict] = []
+    # Resume-time L1: if the loop below runs zero iterations (resumed
+    # it >= max_iter with l1 >= tol), final_l1 must report this true
+    # aggregate, not 0.0 from the empty metrics list.
+    resume_l1: float | None = None
 
     if resume and checkpoint.latest_iteration() is not None:
         it = checkpoint.latest_iteration()
         state = checkpoint.read_state(it).persist()
         agg = _state_agg(state)
+        resume_l1 = agg["l1"]
         if agg["l1"] < tol:
             ranks = state.select("id", F.col("pr").alias("katz"))
             return KatzResult(ranks=ranks, iterations=it,
@@ -179,6 +184,7 @@ def _katz_loop(
             break
 
     ranks = state.select("id", F.col("pr").alias("katz"))
+    final_l1 = (metrics[-1]["l1"] if metrics
+                else (resume_l1 if resume_l1 is not None else 0.0))
     return KatzResult(ranks=ranks, iterations=it,
-                      final_l1=metrics[-1]["l1"] if metrics else 0.0,
-                      metrics=metrics)
+                      final_l1=final_l1, metrics=metrics)

@@ -121,6 +121,9 @@ def _ppr_loop(
     it = 0
     dangling = 0.0
     metrics: list[dict] = []
+    # Resume-time L1: reported as final_l1 when the loop below runs
+    # zero iterations (resumed it >= max_iter with l1 >= tol).
+    resume_l1: float | None = None
 
     if resume and checkpoint.latest_iteration() is not None:
         # The checkpointed state carries the restart column, so resume
@@ -131,6 +134,7 @@ def _ppr_loop(
         state = checkpoint.read_state(it).persist()
         agg = _state_agg(state)
         dangling = agg["dangling"]
+        resume_l1 = agg["l1"]
         if agg["l1"] < tol:
             ranks = state.select("id", "pr")
             return PageRankResult(ranks=ranks, converged_ranks=ranks,
@@ -196,7 +200,8 @@ def _ppr_loop(
             break
 
     ranks = state.select("id", "pr")
+    final_l1 = (metrics[-1]["l1"] if metrics
+                else (resume_l1 if resume_l1 is not None else 0.0))
     return PageRankResult(ranks=ranks, converged_ranks=ranks,
-                          iterations=it,
-                          final_l1=metrics[-1]["l1"] if metrics else 0.0,
+                          iterations=it, final_l1=final_l1,
                           metrics=metrics)

@@ -96,6 +96,14 @@ def strongly_connected_components(
     def bcast(df, rows):
         return F.broadcast(df) if rows <= BROADCAST_MAX_STATE else df
 
+    # On-cadence ticks persist the re-read state; track those frames
+    # (GatherPlan._caches style) so each is released once its successor
+    # is cached — otherwise one |V|-row cache accumulates per cadence
+    # hit and survives after the operator returns.  Releasing an older
+    # frame another phase still references only costs a parquet re-read
+    # (write_state already truncated its lineage to the checkpoint).
+    cadence_caches: list[DataFrame] = []
+
     def tick(state_df, extra=None):
         """Durable cadence shared by every loop below: on-cadence
         rounds write+read the round's carried state (plan/stats reset
@@ -105,6 +113,10 @@ def strongly_connected_components(
         rnd += 1
         if checkpoint.should_checkpoint(rnd):
             out = checkpoint.write_state(state_df, rnd).persist()
+            out.count()    # materialize before dropping predecessors
+            while cadence_caches:
+                cadence_caches.pop().unpersist()
+            cadence_caches.append(out)
             checkpoint.write_metrics(
                 rnd, {"active_vertices": float(n_active), **(extra or {})})
             return out
@@ -229,8 +241,28 @@ def strongly_connected_components(
         active_e = nxt
 
     active_e.unpersist()
+    if n_active > 0:
+        # The round budget ran out mid-phase.  A silently partial
+        # labeling (vertices missing from the output domain) is worse
+        # than a provisional one: warn loudly and label the remaining
+        # active vertices as singletons so the output domain stays
+        # complete.  These labels are NOT converged SCC labels.
+        import warnings
+
+        warnings.warn(
+            f"strongly_connected_components: max_rounds={max_rounds} "
+            f"exhausted with {n_active} vertices still active; labeling "
+            "them as singleton SCCs (NOT converged — raise max_rounds)",
+            RuntimeWarning, stacklevel=2)
+        leftovers = active_v.select("id", F.col("id").alias("scc"))
+        assigned = (assigned.unionByName(leftovers) if have_assigned
+                    else leftovers)
+        have_assigned = True
     if not have_assigned:
         return spark.createDataFrame([], "id BIGINT, scc BIGINT")
     # Materialize the result so callers never re-trigger the loop's
     # lineage after the caches above are released.
-    return assigned.localCheckpoint(eager=True)
+    out = assigned.localCheckpoint(eager=True)
+    while cadence_caches:
+        cadence_caches.pop().unpersist()
+    return out

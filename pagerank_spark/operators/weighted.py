@@ -145,12 +145,16 @@ def _wpr_loop(spark, strength: DataFrame, n: int,
     it = 0
     dangling = 0.0
     metrics: list[dict] = []
+    # Resume-time L1: reported as final_l1 when the loop below runs
+    # zero iterations (resumed it >= max_iter with l1 >= tol).
+    resume_l1: float | None = None
 
     if resume and checkpoint.latest_iteration() is not None:
         it = checkpoint.latest_iteration()
         state = checkpoint.read_state(it).persist()
         agg = _state_agg(state, dangling_col="strength")
         dangling = agg["dangling"]
+        resume_l1 = agg["l1"]
         if agg["l1"] < tol:
             ranks = state.select("id", "pr")
             return PageRankResult(ranks=ranks, converged_ranks=ranks,
@@ -204,7 +208,8 @@ def _wpr_loop(spark, strength: DataFrame, n: int,
             break
 
     ranks = state.select("id", "pr")
+    final_l1 = (metrics[-1]["l1"] if metrics
+                else (resume_l1 if resume_l1 is not None else 0.0))
     return PageRankResult(ranks=ranks, converged_ranks=ranks,
-                          iterations=it,
-                          final_l1=metrics[-1]["l1"] if metrics else 0.0,
+                          iterations=it, final_l1=final_l1,
                           metrics=metrics)

@@ -148,8 +148,17 @@ def _decode_wav(payload: bytes) -> "object":
     while off + 8 <= len(payload):
         cid = payload[off:off + 4]
         (size,) = struct.unpack_from("<I", payload, off + 4)
+        # Never trust the declared size past the buffer: a lying chunk
+        # header must raise (callers map ValueError to the fake-decode
+        # fallback), not silently yield a short sample array.
+        if off + 8 + size > len(payload):
+            raise ValueError(
+                f"WAV chunk {cid!r} declares {size} bytes but only "
+                f"{len(payload) - off - 8} remain")
         body = payload[off + 8:off + 8 + size]
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"WAV fmt chunk too short ({size} bytes)")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -212,13 +221,23 @@ def _decode(payload: bytes, kind: str, require_real: bool = False) -> "object":
     soundfile) for formats the built-ins don't cover, then the
     deterministic fake — unless ``require_real`` is set, in which
     case an undecodable payload raises ``NotImplementedError``
-    instead of silently faking."""
+    instead of silently faking.
+
+    A payload that SNIFFS as a real format but is malformed inside
+    (lying chunk size, truncated header) decodes like any other
+    undecodable payload: fake fallback when ``require_real`` is off,
+    raise (the decoder's ``ValueError``) when it is on."""
     import numpy as np
 
     reg = codec_registry()
     if kind == "image":
         if _is_pnm(payload):
-            return _decode_pnm(payload)
+            try:
+                return _decode_pnm(payload)
+            except ValueError:
+                if require_real:
+                    raise
+                return _fake_decode(payload)
         if reg.get("image") == "pillow":
             import io as _io
 
@@ -228,7 +247,12 @@ def _decode(payload: bytes, kind: str, require_real: bool = False) -> "object":
             return np.asarray(img, dtype=np.uint8).ravel()
     elif kind == "audio":
         if _is_wav(payload):
-            return _decode_wav(payload)
+            try:
+                return _decode_wav(payload)
+            except ValueError:
+                if require_real:
+                    raise
+                return _fake_decode(payload)
         if reg.get("audio") == "soundfile":
             import io as _io
 

@@ -72,3 +72,18 @@ def test_katz_empty_graph(spark):
     res = katz_centrality(graph.prepare(e), max_iter=3)
     assert res.iterations == 0
     assert res.ranks.count() == 0
+
+
+def test_katz_resume_zero_iterations_reports_true_l1(spark, tmp_path):
+    # A resume that runs ZERO loop iterations (resumed it >= max_iter,
+    # l1 still >= tol) must report the checkpointed state's true L1,
+    # not 0.0 from an empty metrics list.
+    g = graph.prepare(edges_df(spark, F2_EDGES))
+    ck = CheckpointManager(spark, str(tmp_path / "kz"), interval=1)
+    first = katz_centrality(g, alpha=0.2, tol=0.0, max_iter=8,
+                            checkpoint=ck)
+    assert first.final_l1 > 0.0
+    again = katz_centrality(g, alpha=0.2, tol=0.0, max_iter=8,
+                            checkpoint=ck, resume=True)
+    assert again.iterations == 8 and not again.metrics
+    assert again.final_l1 == pytest.approx(first.final_l1, rel=1e-12)

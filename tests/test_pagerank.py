@@ -374,3 +374,30 @@ def test_weighted_result_metrics_and_iterations(spark):
     assert len(res.metrics) == 5
     assert res.metrics[-1]["l1"] == res.final_l1
     assert _ranks_dict(res.ranks) == _ranks_dict(res.converged_ranks)
+
+
+def test_ppr_wpr_resume_zero_iterations_reports_true_l1(spark, tmp_path):
+    # A resume that runs ZERO loop iterations (resumed it >= max_iter,
+    # l1 still >= tol) must report the checkpointed state's true L1,
+    # not 0.0 from an empty metrics list (katz has the same guarantee,
+    # tested in test_katz.py).
+    from pagerank_spark.operators.ppr import personalized_pagerank
+    from pagerank_spark.operators.weighted import weighted_pagerank
+
+    g = graph.prepare(edges_df(spark, F2_EDGES))
+    pck = CheckpointManager(spark, str(tmp_path / "pz"), interval=1)
+    first = personalized_pagerank(g, [0], tol=0.0, max_iter=6,
+                                  checkpoint=pck)
+    again = personalized_pagerank(g, [0], tol=0.0, max_iter=6,
+                                  checkpoint=pck, resume=True)
+    assert first.final_l1 > 0.0 and not again.metrics
+    assert again.final_l1 == pytest.approx(first.final_l1, rel=1e-12)
+
+    ew = edges_df(spark, F2_EDGES).withColumn(
+        "weight", (F.col("dst") % 4 + 1).cast("double"))
+    wck = CheckpointManager(spark, str(tmp_path / "wz"), interval=1)
+    wfirst = weighted_pagerank(ew, tol=0.0, max_iter=6, checkpoint=wck)
+    wagain = weighted_pagerank(ew, tol=0.0, max_iter=6, checkpoint=wck,
+                               resume=True)
+    assert wfirst.final_l1 > 0.0 and not wagain.metrics
+    assert wagain.final_l1 == pytest.approx(wfirst.final_l1, rel=1e-12)

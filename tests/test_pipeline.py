@@ -657,3 +657,38 @@ def test_ivf_empty_cluster_keeps_centroid(spark):
     got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
     assert all((0, n) in got for n in (2, 4, 6, 8))
     assert all((1, n) in got for n in (3, 5, 7, 9))
+
+
+def test_malformed_real_format_payloads_fall_back_or_raise():
+    # A payload that SNIFFS as WAV/PPM but lies inside (chunk size past
+    # the buffer, short fmt, truncated pixel data) must behave like any
+    # other undecodable payload: deterministic fake fallback when
+    # require_real is off, ValueError when it is on.
+    import struct
+
+    import numpy as np
+
+    # WAV whose data chunk declares more bytes than remain
+    lying = (b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+             + b"data" + struct.pack("<I", 9999) + b"\x00\x00")
+    assert multimodal._is_wav(lying)
+    with pytest.raises(ValueError, match="declares 9999 bytes"):
+        multimodal._decode(lying, "audio", require_real=True)
+    assert np.array_equal(multimodal._decode(lying, "audio"),
+                          multimodal._fake_decode(lying))
+
+    # WAV whose fmt chunk is too short to hold the 16-byte PCM header
+    fmtshort = (b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00")
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        multimodal._decode(fmtshort, "audio", require_real=True)
+    assert np.array_equal(multimodal._decode(fmtshort, "audio"),
+                          multimodal._fake_decode(fmtshort))
+
+    # PPM header promising more pixels than the buffer carries
+    trunc = b"P6\n4 4\n255\nxy"
+    assert multimodal._is_pnm(trunc)
+    with pytest.raises(ValueError):
+        multimodal._decode(trunc, "image", require_real=True)
+    assert np.array_equal(multimodal._decode(trunc, "image"),
+                          multimodal._fake_decode(trunc))

@@ -148,3 +148,17 @@ def test_scc_backward_chain_single_round(spark):
             edges.append((2 * (i + 1) + 1, a))
     got = _run(spark, edges, 2 * k)
     assert got == {v: v - v % 2 for v in range(2 * k)}
+
+
+def test_scc_max_rounds_exhaustion_warns_and_completes_domain(spark):
+    # Exhausting max_rounds mid-phase must NOT silently drop vertices:
+    # the remaining active vertices are labeled as provisional
+    # singletons and a RuntimeWarning says the run did not converge.
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)]  # one 5-cycle
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    with pytest.warns(RuntimeWarning, match="max_rounds=1 exhausted"):
+        got = {r["id"]: r["scc"] for r in
+               strongly_connected_components(df, n=5,
+                                             max_rounds=1).collect()}
+    # domain complete; labels are provisional singletons, not converged
+    assert set(got) == set(range(5))
