@@ -1554,8 +1554,11 @@ def oracle_sql() -> dict[str, str]:
                   FROM tf JOIN dft USING (term)),
             nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm
                     FROM w GROUP BY doc_id),
+            -- round(..., 12) matches tfidf.W_ROUND: quantize per-term
+            -- weights before any cross-doc sum so ~1-ulp libm ln()
+            -- differences between engines cannot reach the pair sims.
             v AS MATERIALIZED (
-                SELECT w.doc_id, w.term, w.w / nrm.nrm AS w
+                SELECT w.doc_id, w.term, round(w.w / nrm.nrm, 12) AS w
                 FROM w JOIN nrm USING (doc_id)),
             pairs AS (SELECT va.doc_id AS a, vb.doc_id AS b,
                              round(sum(va.w * vb.w), 6) AS sim
@@ -1685,8 +1688,11 @@ def oracle_sql() -> dict[str, str]:
                                THEN 1.0 ELSE -1.0 END))) AS proj
                 FROM emb CROSS JOIN tp),
             buckets AS (
+                -- round(proj, 9) matches similarity.PROJ_ROUND: both
+                -- engines quantize before the sign compare so
+                -- summation-order drift near 0 cannot flip a bit.
                 SELECT vec_id, t,
-                       sum(CASE WHEN proj >= 0
+                       sum(CASE WHEN round(proj, 9) >= 0
                                 THEN power(2, {LSH_PLANES - 1} - p)
                                 ELSE 0 END)::BIGINT AS bucket
                 FROM proj GROUP BY vec_id, t),
@@ -1788,8 +1794,10 @@ def oracle_sql() -> dict[str, str]:
                                THEN 1.0 ELSE -1.0 END))) AS proj
                 FROM emb CROSS JOIN tp),
             buckets AS (
+                -- round(proj, 9) matches similarity.PROJ_ROUND (see
+                -- embedding_near_dups note).
                 SELECT vec_id, t,
-                       sum(CASE WHEN proj >= 0
+                       sum(CASE WHEN round(proj, 9) >= 0
                                 THEN power(2, {LSH_PLANES - 1} - p)
                                 ELSE 0 END)::BIGINT AS bucket
                 FROM proj GROUP BY vec_id, t),

@@ -61,6 +61,15 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFr
     )
 
 
+# Projections are quantized to this many digits BEFORE the >=0 sign
+# compare, in every face (JVM fold, numpy matmul, DuckDB oracle).  The
+# three faces sum the same per-dimension terms in different orders, so
+# raw sums differ by ~1e-15; a projection that close to exactly 0 would
+# otherwise flip a bucket bit between engines.  Same quantize-before-
+# compare contract as IVF_DIST_ROUND in ivf_topk.
+PROJ_ROUND = 9
+
+
 def _plane_signs(plane: int, seed: int, dims: int) -> list[float]:
     """Deterministic portable ±1 sign vector for one hyperplane:
     sign(d) = +1 iff the first hex digit of md5("<d>:<plane>:<seed>")
@@ -80,7 +89,8 @@ def _hyperplane_sign(emb, plane: int, seed: int, dims: int):
     signs = F.array(*[F.lit(s) for s in _plane_signs(plane, seed, dims)])
     proj = F.aggregate(F.zip_with(emb, signs, lambda x, s: x * s),
                        F.lit(0.0), lambda acc, v: acc + v)
-    return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+    return F.when(F.round(proj, PROJ_ROUND) >= 0,
+                  F.lit(1)).otherwise(F.lit(0))
 
 
 def lsh_bucket_column(emb, n_planes: int = 8, seed: int = 42, dims: int = 64):
@@ -106,8 +116,9 @@ def lsh_index(embeddings: DataFrame, n_planes: int = 8,
       tables' projections are a single numpy matmul per batch
       (batch × dims @ dims × (tables·planes)), ~100x less per-row
       overhead.  Same md5-derived sign matrix; equivalence is asserted
-      in tests (a sign could only differ if a projection lay within
-      float-summation-order error of exactly 0).
+      in tests, and both faces quantize the projection to PROJ_ROUND
+      digits before the sign compare so summation-order drift near 0
+      cannot flip a bucket bit.
     """
     first = embeddings.select("embedding").first()
     dims = len(first["embedding"]) if first else 1
@@ -154,7 +165,7 @@ def _lsh_index_vectorized(embeddings: DataFrame, n_planes: int,
             e = np.array([np.asarray(v, dtype=np.float64)
                           for v in pdf["embedding"]])
             proj = e @ signs                      # n × (tables·planes)
-            bits = (proj >= 0).astype(np.int64)
+            bits = (np.round(proj, PROJ_ROUND) >= 0).astype(np.int64)
             frames = []
             for t in range(n_tables):
                 b = bits[:, t * n_planes:(t + 1) * n_planes] @ weights

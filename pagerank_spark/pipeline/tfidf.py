@@ -22,9 +22,14 @@ vocabulary before weighting, the same df-cap strategy as
 PPJoin, Xiao et al., WWW'08).  Everything is JVM expressions — one
 explode, three hash aggregations, one equi-join; no Python.
 
-Determinism: similarities are rounded (6 digits) BEFORE ranking with
-a doc-id tie-break, the same contract as ``similarity.cosine_topk``,
-so the DuckDB oracle reproduces the exact row set.
+Determinism: per-term normalized weights are quantized to ``W_ROUND``
+digits BEFORE the pairwise sum (idf goes through ``ln`` whose libm
+differs by ~1 ulp between the JVM and DuckDB; quantizing the inputs
+collapses both engines onto identical doubles, same contract as
+``similarity.PROJ_ROUND``), then similarities are rounded (6 digits)
+BEFORE ranking with a doc-id tie-break, the same contract as
+``similarity.cosine_topk``, so the DuckDB oracle reproduces the exact
+row set.
 """
 
 from __future__ import annotations
@@ -34,6 +39,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pagerank_spark.pipeline.textstats import _tokens
 
 SIM_ROUND = 6
+W_ROUND = 12   # per-term weight quantization before any cross-doc sum
 
 
 def tfidf_terms(docs: DataFrame, max_df: int | None = None) -> DataFrame:
@@ -63,7 +69,8 @@ def tfidf_terms(docs: DataFrame, max_df: int | None = None) -> DataFrame:
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     return (
         w_raw.join(norm, "doc_id")
-        .select("doc_id", "term", (F.col("w") / F.col("nrm")).alias("w"))
+        .select("doc_id", "term",
+                F.round(F.col("w") / F.col("nrm"), W_ROUND).alias("w"))
     )
 
 
