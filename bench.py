@@ -36,7 +36,8 @@ def main() -> None:
     from pagerank_spark.operators.triangles import triangles
     from pagerank_spark.operators.labelprop import label_propagation
     from pagerank_spark.operators.weighted import weighted_pagerank
-    from pagerank_spark.pipeline import dedup, similarity, textstats, tfidf
+    from pagerank_spark.pipeline import (
+        curation, dedup, similarity, textstats, tfidf)
 
     spark = get_spark(
         app_name="pagerank_spark_bench",
@@ -122,6 +123,15 @@ def main() -> None:
 
     timed("doc_token_stats", lambda: textstats.token_counts(docs).count())
     timed("doc_quality", lambda: textstats.quality_scores(docs).count())
+    timed("doc_repetition",
+          lambda: curation.repetition_stats(docs).count())
+    timed("doc_chunks",
+          lambda: curation.chunk_documents(docs).count())
+    timed("docs_curated", lambda: curation.stratified_sample(
+        docs.withColumn("lang", F.concat(F.lit("l"),
+                                         F.col("doc_id") % 4)),
+        {"l0": 0.5, "l1": 0.25, "l2": 0.1}, seed=7,
+        default_rate=0.05).count())
     timed("minhash_candidates",
           lambda: dedup.minhash_candidate_pairs(docs).count())
     timed("jaccard_pairs",

@@ -1,0 +1,212 @@
+"""Corpus-curation operators for training-data pipelines:
+repetition quality rules, fixed-window token chunking, and
+deterministic stratified sampling.
+
+These extend the reference's fixed-function graph engine
+(``/root/reference/pagerank/src/lib/pagerank.cpp:195-242`` computes
+only PageRank) with the document-curation steps a 100 TB pretraining
+pipeline runs before/after dedup (``pipeline/dedup.py``): drop
+machine-repeated boilerplate (Gopher-style repetition signals, Rae et
+al. 2021 §A1.1), slice what survives into training windows, and
+down/up-sample strata to a target mixture.
+
+Scale notes
+-----------
+- ``repetition_stats``: one generator explode of per-document n-gram
+  arrays feeding a two-level aggregation keyed by (doc_id, gram) then
+  doc_id — both partial-aggregate map-side, so the shuffle carries
+  only (doc, distinct-gram) partials, never raw token instances.
+  No window functions, no skew risk beyond a single pathological doc
+  (a doc is one key; its grams spread across partitions in the first
+  agg).
+- ``chunk_documents``: pure per-row ``explode(sequence(...))`` +
+  ``slice`` — zero shuffle, embarrassingly parallel, whole-stage
+  codegen.
+- ``stratified_sample``: a filter on a 60-bit md5-derived uniform
+  deviate — zero shuffle, pushdown-friendly, and reproducible across
+  engines (the DuckDB oracle computes the identical integer
+  threshold compare; no float rounding in the keep/drop decision).
+
+Every operator is expressible in ANSI SQL; ``__spark_entry__`` keeps
+the DuckDB oracles in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Fixed-point denominator for the sampling deviate: md5's leading 15
+# hex chars as a non-negative 60-bit integer (same family as
+# dedup.simhash hash_family="md5").
+_HASH_SPACE = 1 << 60
+
+
+def _tokens(col):
+    # identical tokenization to textstats._tokens / dedup
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def _grams(toks, k: int):
+    """Array of space-joined k-grams of ``toks`` (empty when the doc
+    has fewer than k tokens)."""
+    if k == 1:
+        return toks
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(docs: DataFrame, max_gram: int = 3) -> DataFrame:
+    """(doc_id, n_tokens, dup_word_frac, dup_line_frac,
+    top_bigram_frac, top_trigram_frac) — Gopher-style repetition
+    signals (Rae et al. 2021, §A1.1 "repetition removal").
+
+    - ``dup_word_frac``  = 1 − distinct_tokens / n_tokens
+    - ``dup_line_frac``  = 1 − distinct_lines / n_lines (text split
+      on ``\\n``; single-line docs score 0)
+    - ``top_bigram_frac``/``top_trigram_frac`` = occurrences of the
+      most frequent 2-/3-gram ÷ total 2-/3-grams (0 when the doc is
+      shorter than the gram).
+
+    A curation pass typically drops docs with dup_line_frac > 0.3 or
+    top_bigram_frac > 0.18 (the published Gopher thresholds); this
+    operator reports the signals and leaves the cut to the caller.
+    """
+    toks = _tokens(F.col("text"))
+    lines = F.split(F.col("text"), r"\n")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(
+            1.0 - F.size(F.array_distinct(toks)) / F.size(toks), 6
+        ).alias("dup_word_frac"),
+        F.round(
+            1.0 - F.size(F.array_distinct(lines)) / F.size(lines), 6
+        ).alias("dup_line_frac"),
+    )
+    # One generator pass: every (k, gram) instance for k in 2..max_gram,
+    # then two partial-aggregated shuffles (doc_id,k,gram) → (doc_id,k).
+    def _tag(k: int):
+        # single-arg lambda: F.transform treats a second parameter as
+        # the element INDEX, which would shadow a k=k closure default
+        return lambda g: F.struct(F.lit(k).alias("k"), g.alias("gram"))
+
+    gram_structs = F.flatten(F.array(*[
+        F.transform(_grams(toks, k), _tag(k))
+        for k in range(2, max_gram + 1)
+    ]))
+    inst = docs.select(
+        "doc_id", F.explode(gram_structs).alias("kg")
+    ).select("doc_id", F.col("kg.k").alias("k"), F.col("kg.gram").alias("gram"))
+    per_gram = inst.groupBy("doc_id", "k", "gram").agg(
+        F.count(F.lit(1)).alias("c"))
+    per_k = per_gram.groupBy("doc_id", "k").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("total"))
+    tops = per_k.groupBy("doc_id").agg(*[
+        F.round(
+            F.max(F.when(F.col("k") == k, F.col("top_c") / F.col("total"))),
+            6,
+        ).alias(f"top_{name}_frac")
+        for k, name in ((2, "bigram"), (3, "trigram"))
+    ])
+    return (
+        base.join(tops, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens", "dup_word_frac", "dup_line_frac",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("top_trigram_frac", F.lit(0.0)).alias("top_trigram_frac"),
+        )
+    )
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 32,
+                    stride: int = 24) -> DataFrame:
+    """(doc_id, chunk_id, start_tok, n_tok, chunk_text) — overlapping
+    fixed-size token windows for training-example packing.
+
+    Window i starts at token ``1 + i*stride`` (1-based) and spans up
+    to ``chunk_tokens`` tokens; starts run while they ≤
+    ``max(n − chunk_tokens + 1, 1)``, so with ``stride <
+    chunk_tokens`` every token is covered and only the final window
+    may be short.  Pure per-row expressions (explode of an arithmetic
+    sequence + ``slice``): zero shuffle at any scale.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - (chunk_tokens - 1), F.lit(1)), F.lit(stride))
+    out = docs.select(
+        "doc_id", toks.alias("_toks"), F.explode(starts).alias("start_tok"))
+    piece = F.slice("_toks", F.col("start_tok"), chunk_tokens)
+    return out.select(
+        "doc_id",
+        ((F.col("start_tok") - 1) / stride).cast("bigint").alias("chunk_id"),
+        F.col("start_tok").cast("bigint"),
+        F.size(piece).cast("bigint").alias("n_tok"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def sample_deviate(doc_id_col, seed: int):
+    """60-bit uniform integer deviate for ``doc_id``: the leading 15
+    hex chars of md5('sample:<seed>:<doc_id>').  Portable — any
+    engine with md5 reproduces it bit-for-bit."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit("sample"), F.lit(str(seed)),
+                              doc_id_col.cast("string"))),
+            1, 15),
+        16, 10,
+    ).cast("bigint")
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, float],
+                      stratum_col: str = "lang", seed: int = 42,
+                      default_rate: float = 0.0) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample: keep a row iff its
+    md5 deviate < floor(rate(stratum) · 2^60).
+
+    The keep/drop decision is an exact integer compare — no float in
+    the predicate — so resampling with the same seed is idempotent
+    and identical on every engine/cluster size (the property that
+    makes mixture reweighting reproducible across pipeline reruns).
+    Unlisted strata fall back to ``default_rate``.  Zero shuffle.
+    """
+    dev = sample_deviate(F.col("doc_id"), seed)
+    thr = F.lit(int(default_rate * _HASH_SPACE)).cast("bigint")
+    for stratum, rate in sorted(rates.items()):
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {stratum!r} out of [0,1]: {rate}")
+        thr = F.when(
+            F.col(stratum_col) == stratum,
+            F.lit(int(rate * _HASH_SPACE)).cast("bigint")).otherwise(thr)
+    return docs.where(dev < thr)
+
+
+def sample_stats(docs: DataFrame, rates: dict[str, float],
+                 stratum_col: str = "lang", seed: int = 42,
+                 default_rate: float = 0.0) -> DataFrame:
+    """(stratum, total, kept, kept_frac) — audit table for a
+    ``stratified_sample`` configuration (same deviate, same
+    thresholds), aggregated map-side then by stratum."""
+    kept = stratified_sample(docs, rates, stratum_col, seed, default_rate)
+    tot = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("total"))
+    k = kept.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("kept"))
+    return (
+        tot.join(k, "stratum", "left")
+        .select(
+            "stratum", "total",
+            F.coalesce("kept", F.lit(0)).cast("bigint").alias("kept"),
+            F.round(F.coalesce("kept", F.lit(0)) / F.col("total"), 6)
+            .alias("kept_frac"),
+        )
+    )

@@ -1,0 +1,140 @@
+"""Unit tests for pipeline/curation.py: Gopher-style repetition
+signals, fixed-window token chunking, deterministic stratified
+sampling.  Hand-computed fixtures — the cross-engine face is covered
+by test_entry_contract.py (doc_repetition / doc_chunks /
+doc_sample_stats / docs_curated)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pagerank_spark.pipeline import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+# ------------------------------------------------------------ repetition
+
+def test_repetition_stats_hand_computed(spark):
+    # "a b a b a" : 5 tokens, 2 distinct -> dup_word 0.6;
+    # bigrams: "a b" x2, "b a" x2 -> top 2/4 = 0.5;
+    # trigrams: "a b a" x2, "b a b" x1 -> top 2/3.
+    rows = _docs(spark, [(1, "a b a b a")]).transform(
+        curation.repetition_stats).collect()
+    r = rows[0]
+    assert r.n_tokens == 5
+    assert r.dup_word_frac == pytest.approx(0.6)
+    assert r.dup_line_frac == 0.0  # single line
+    assert r.top_bigram_frac == pytest.approx(0.5)
+    assert r.top_trigram_frac == pytest.approx(round(2 / 3, 6))
+
+
+def test_repetition_stats_duplicate_lines(spark):
+    text = "x y\nx y\nz w"  # 3 lines, 2 distinct -> dup_line 1/3
+    r = _docs(spark, [(1, text)]).transform(
+        curation.repetition_stats).collect()[0]
+    assert r.dup_line_frac == pytest.approx(round(1 - 2 / 3, 6))
+
+
+def test_repetition_stats_short_doc_zero_grams(spark):
+    # 1 token: no bigrams/trigrams -> both fracs 0, no null leakage
+    r = _docs(spark, [(1, "solo")]).transform(
+        curation.repetition_stats).collect()[0]
+    assert r.n_tokens == 1
+    assert r.top_bigram_frac == 0.0
+    assert r.top_trigram_frac == 0.0
+
+
+# ------------------------------------------------------------- chunking
+
+def test_chunk_documents_covers_every_token(spark):
+    text = " ".join(f"t{i}" for i in range(100))
+    out = curation.chunk_documents(
+        _docs(spark, [(1, text)]), chunk_tokens=32, stride=24).collect()
+    # starts: 1, 25, 49, 69? no: while start <= 100-32+1=69 -> 1,25,49
+    # then next would be 73 > 69, so 3 full windows... but 49+31=80 <100:
+    # sequence(1, greatest(69,1), 24) = [1, 25, 49] -> last covers 49..80.
+    # Coverage property: union of [start, start+n_tok) must reach token
+    # index max(start)+n_tok and start at 1 with no gaps (stride<width).
+    starts = sorted(r.start_tok for r in out)
+    assert starts[0] == 1
+    assert all(b - a == 24 for a, b in zip(starts, starts[1:]))
+    for r in out:
+        assert r.n_tok == 32
+        assert len(r.chunk_text.split(" ")) == r.n_tok
+        assert r.chunk_id == (r.start_tok - 1) // 24
+
+
+def test_chunk_documents_short_doc_single_window(spark):
+    out = curation.chunk_documents(
+        _docs(spark, [(1, "a b c")]), chunk_tokens=32, stride=24).collect()
+    assert len(out) == 1
+    assert out[0].start_tok == 1 and out[0].n_tok == 3
+    assert out[0].chunk_text == "a b c"
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    with pytest.raises(ValueError):
+        curation.chunk_documents(_docs(spark, [(1, "a")]), chunk_tokens=0)
+    with pytest.raises(ValueError):
+        curation.chunk_documents(_docs(spark, [(1, "a")]), stride=-1)
+
+
+# ------------------------------------------------------------- sampling
+
+def _strat_docs(spark, n=400):
+    rows = [(i, f"doc {i}", ["en", "de", "zh", "fr"][i % 4])
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING")
+
+
+def test_stratified_sample_deterministic_and_idempotent(spark):
+    docs = _strat_docs(spark)
+    rates = {"en": 0.5, "de": 0.25}
+    a = sorted(r.doc_id for r in
+               curation.stratified_sample(docs, rates, seed=7).collect())
+    b = sorted(r.doc_id for r in
+               curation.stratified_sample(docs, rates, seed=7).collect())
+    assert a == b
+    # resampling the sample with the same seed keeps every row
+    kept = curation.stratified_sample(docs, rates, seed=7)
+    again = sorted(r.doc_id for r in
+                   curation.stratified_sample(kept, rates, seed=7).collect())
+    assert again == a
+    # a different seed draws a different subset
+    c = sorted(r.doc_id for r in
+               curation.stratified_sample(docs, rates, seed=8).collect())
+    assert a != c
+
+
+def test_stratified_sample_rates_apply_per_stratum(spark):
+    docs = _strat_docs(spark, n=2000)
+    stats = {r.stratum: r for r in curation.sample_stats(
+        docs, {"en": 0.5, "de": 0.0, "zh": 1.0}, seed=3,
+        default_rate=0.1).collect()}
+    assert stats["de"].kept == 0
+    assert stats["zh"].kept == stats["zh"].total
+    # en ~ 0.5 of 500, fr (default) ~ 0.1 of 500 — loose 5-sigma bounds
+    assert 175 <= stats["en"].kept <= 325
+    assert 15 <= stats["fr"].kept <= 90
+    for r in stats.values():
+        assert r.kept_frac == pytest.approx(
+            round(r.kept / r.total, 6), abs=1e-9)
+
+
+def test_stratified_sample_rejects_bad_rate(spark):
+    with pytest.raises(ValueError):
+        curation.stratified_sample(_strat_docs(spark), {"en": 1.5})
+
+
+def test_sample_is_subset_invariant_to_other_rows(spark):
+    # per-row decision: dropping other rows never changes a row's fate
+    docs = _strat_docs(spark)
+    full = {r.doc_id for r in curation.stratified_sample(
+        docs, {"en": 0.4}, seed=11).collect()}
+    half = {r.doc_id for r in curation.stratified_sample(
+        docs.where("doc_id < 200"), {"en": 0.4}, seed=11).collect()}
+    assert half == {d for d in full if d < 200}
