@@ -24,6 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+# single source of truth for the PII patterns + redaction pass order
+# (pipeline/filtering.py): the oracle interpolates the SAME strings
+from pagerank_spark.pipeline.filtering import PII_PATTERNS, _REDACT_ORDER
+
 ROUND = 7  # float output rounding, applied identically in both engines
 
 # Shared constants interpolated into BOTH the Spark query and the DuckDB
@@ -91,6 +95,9 @@ CURATION_RATES = {"de": 0.25, "en": 0.5, "zh": 0.1}  # per-lang keep rates
 CURATION_DEFAULT_RATE = 0.05                         # unlisted strata
 REP_MAX_LINE_DUP = 0.3     # docs_curated: Gopher dup_line_frac cut
 REP_MAX_TOP_BIGRAM = 0.18  # docs_curated: Gopher top_bigram_frac cut
+CONTAM_N = 8          # decontamination n-gram width, both engines
+CONTAM_BENCH_MOD = 41  # synthetic benchmark set: doc_id % MOD == REM
+CONTAM_BENCH_REM = 3
 
 # ------------------------------------------------------------------ helpers
 
@@ -536,6 +543,67 @@ def q_docs_curated(spark, sf_dir):
         default_rate=CURATION_DEFAULT_RATE).select("doc_id", "lang")
 
 
+def _pii_docs(spark, sf_dir):
+    """documents with deterministic PII planted on a doc_id lattice
+    (the synthetic corpus has none) — the DuckDB oracle applies the
+    identical augmentation, so detection/redaction is exercised on
+    real matches, not an all-zeros fixed point."""
+    d = _docs(spark, sf_dir)
+    return d.withColumn("text", F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com")))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit(" call 1-555-010-0100")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.lit(" host 10.0.0.1 up")).otherwise(F.lit(""))))
+
+
+def q_pii_stats(spark, sf_dir):
+    """Per-document PII hit counts (email/phone/IPv4) — pure JVM
+    regexp projection, patterns in the Java∩RE2 subset so the oracle
+    runs the identical strings."""
+    from pagerank_spark.pipeline import filtering
+
+    return filtering.pii_stats(_pii_docs(spark, sf_dir))
+
+
+def q_pii_redacted(spark, sf_dir):
+    """Full redacted text, hash-compared byte-for-byte vs DuckDB."""
+    from pagerank_spark.pipeline import filtering
+
+    return filtering.redact_pii(_pii_docs(spark, sf_dir))
+
+
+def _contam_bench(docs):
+    return docs.where(
+        F.col("doc_id") % CONTAM_BENCH_MOD == CONTAM_BENCH_REM).select(
+        F.col("doc_id").alias("bench_id"), "text")
+
+
+def q_contamination_flags(spark, sf_dir):
+    """GPT-3-style benchmark decontamination: training docs sharing
+    any CONTAM_N-gram with the (synthetic) held-out set; the bench
+    gram table is broadcast so the corpus side never shuffles."""
+    from pagerank_spark.pipeline import filtering
+
+    docs = _docs(spark, sf_dir)
+    return filtering.contamination_matches(
+        docs, _contam_bench(docs), n=CONTAM_N)
+
+
+def q_docs_decontaminated(spark, sf_dir):
+    """Keep-side complement of contamination_flags (left-anti)."""
+    from pagerank_spark.pipeline import filtering
+
+    docs = _docs(spark, sf_dir)
+    return filtering.decontaminate(
+        docs, _contam_bench(docs), n=CONTAM_N).select("doc_id")
+
+
 def q_exact_dup_groups(spark, sf_dir):
     """Exact-dup groups with exact n_docs and a BOUNDED sample of the
     EXACT_DUP_SAMPLE_IDS smallest member ids (no unbounded per-group
@@ -845,7 +913,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_depths": q_bfs_depths,
         "bfs_directed": q_bfs_directed,
         "sssp": q_sssp,
-        "sssp_directed": q_sssp_directed,
         "components_domain": q_components_domain,
         "label_propagation_k2": q_label_propagation_k2,
         "triangle_count": q_triangle_count,
@@ -860,10 +927,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "doc_repetition": q_doc_repetition,
         "doc_chunks": q_doc_chunks,
-        "doc_sample_stats": q_doc_sample_stats,
         "docs_curated": q_docs_curated,
+        "pii_stats": q_pii_stats,
+        "pii_redacted": q_pii_redacted,
+        "contamination_flags": q_contamination_flags,
         "exact_dup_groups": q_exact_dup_groups,
-        "docs_deduped": q_docs_deduped,
         "minhash_signatures": q_minhash_signatures,
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -886,6 +954,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "in_adjacency": q_in_adjacency,  # unsalted parity face
         "repo_vertex_ids": q_repo_vertex_ids,  # inside repo_pagerank_k3
         "exact_dup_stats": q_exact_dup_stats,  # exact_dup_groups face
+        "docs_deduped": q_docs_deduped,  # exact-dedup filter face
+        "doc_sample_stats": q_doc_sample_stats,  # docs_curated face
+        "sssp_directed": q_sssp_directed,  # sssp/bfs_directed face
+        "docs_decontaminated": q_docs_decontaminated,  # anti-join face
         "doc_fingerprints": q_doc_fingerprints,  # md5-normalize face
         "degree_distribution": q_degree_distribution,
         "triangles_per_vertex": q_triangles_per_vertex,
@@ -968,6 +1040,39 @@ _SAMPLE_THRESHOLD_CASE = ("CASE lang " + " ".join(
 _SAMPLE_DEV_SQL = (
     "('0x' || substr(md5('sample:" + str(CURATION_SEED)
     + ":' || doc_id::VARCHAR), 1, 15))::BIGINT")
+
+# PII augmentation twin of _pii_docs (plants deterministic matches on
+# the synthetic corpus; same lattice, same literals).
+_PII_AUG_SQL = """
+    aug AS (
+        SELECT doc_id, text
+            || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+                    || doc_id::VARCHAR || '@example.com' ELSE '' END
+            || CASE WHEN doc_id % 11 = 0
+                    THEN ' call 1-555-010-0100' ELSE '' END
+            || CASE WHEN doc_id % 13 = 0
+                    THEN ' host 10.0.0.1 up' ELSE '' END AS text
+        FROM documents)
+"""
+
+# Distinct per-doc CONTAM_N-grams (filtering._gram_set twin).
+_CONTAM_GRAMS_SQL = f"""
+    ctoks AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents),
+    cgrams AS (
+        SELECT doc_id, unnest(CASE WHEN len(toks) >= {CONTAM_N} THEN
+            list_distinct(list_transform(
+                generate_series(1, len(toks) - {CONTAM_N - 1}),
+                i -> array_to_string(
+                    list_slice(toks, i, i + {CONTAM_N - 1}), ' ')))
+            ELSE CAST([] AS VARCHAR[]) END) AS gram
+        FROM ctoks),
+    bench_grams AS (
+        SELECT DISTINCT doc_id AS bench_id, gram FROM cgrams
+        WHERE doc_id % {CONTAM_BENCH_MOD} = {CONTAM_BENCH_REM})
+"""
 
 # The DuckDB twin of datagen.repo_files_from_docs: same repo/path/
 # commit/content expressions, so file-level hashes and the mined edge
@@ -1758,6 +1863,45 @@ def oracle_sql() -> dict[str, str]:
               AND r.top_bigram_frac <= {REP_MAX_TOP_BIGRAM}
               AND {_SAMPLE_DEV_SQL.replace("doc_id", "d.doc_id")}
                   < {_SAMPLE_THRESHOLD_CASE.replace("lang", "d.lang")}
+        """,
+        "pii_stats": f"""
+            WITH {_PII_AUG_SQL}
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '{PII_PATTERNS["email"]}'))::BIGINT AS n_email,
+                   len(regexp_extract_all(text,
+                       '{PII_PATTERNS["phone"]}'))::BIGINT AS n_phone,
+                   len(regexp_extract_all(text,
+                       '{PII_PATTERNS["ipv4"]}'))::BIGINT AS n_ipv4,
+                   (len(regexp_extract_all(text, '{PII_PATTERNS["email"]}'))
+                    + len(regexp_extract_all(text, '{PII_PATTERNS["phone"]}'))
+                    + len(regexp_extract_all(text, '{PII_PATTERNS["ipv4"]}'))
+                   ) > 0 AS has_pii
+            FROM aug
+        """,
+        "pii_redacted": f"""
+            WITH {_PII_AUG_SQL}
+            SELECT doc_id,
+                   {"".join("regexp_replace(" for _ in _REDACT_ORDER)}text
+                   {"".join(f", '{PII_PATTERNS[k]}', '<PII>', 'g')"
+                            for k in _REDACT_ORDER)} AS text
+            FROM aug
+        """,
+        "contamination_flags": f"""
+            WITH {_CONTAM_GRAMS_SQL}
+            SELECT c.doc_id,
+                   count(DISTINCT c.gram)::BIGINT AS n_hit_grams,
+                   count(DISTINCT b.bench_id)::BIGINT AS n_bench_docs
+            FROM cgrams c JOIN bench_grams b ON c.gram = b.gram
+            GROUP BY c.doc_id
+        """,
+        "docs_decontaminated": f"""
+            WITH {_CONTAM_GRAMS_SQL},
+            flagged AS (SELECT DISTINCT c.doc_id
+                        FROM cgrams c JOIN bench_grams b ON c.gram = b.gram)
+            SELECT d.doc_id FROM documents d
+            LEFT JOIN flagged f ON d.doc_id = f.doc_id
+            WHERE f.doc_id IS NULL
         """,
         "exact_dup_groups": f"""
             WITH d AS (SELECT md5(text) AS digest, doc_id FROM documents),

@@ -37,7 +37,7 @@ def main() -> None:
     from pagerank_spark.operators.labelprop import label_propagation
     from pagerank_spark.operators.weighted import weighted_pagerank
     from pagerank_spark.pipeline import (
-        curation, dedup, similarity, textstats, tfidf)
+        curation, dedup, filtering, similarity, textstats, tfidf)
 
     spark = get_spark(
         app_name="pagerank_spark_bench",
@@ -132,6 +132,13 @@ def main() -> None:
                                          F.col("doc_id") % 4)),
         {"l0": 0.5, "l1": 0.25, "l2": 0.1}, seed=7,
         default_rate=0.05).count())
+    timed("pii_redacted",
+          lambda: filtering.redact_pii(docs).count())
+    bench_docs = docs.where(F.col("doc_id") % 41 == 3).select(
+        F.col("doc_id").alias("bench_id"), "text")
+    timed("contamination_flags",
+          lambda: filtering.contamination_matches(
+              docs, bench_docs, n=8).count())
     timed("minhash_candidates",
           lambda: dedup.minhash_candidate_pairs(docs).count())
     timed("jaccard_pairs",
