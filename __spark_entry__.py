@@ -499,8 +499,9 @@ def q_doc_tfidf_topk(spark, sf_dir):
 def q_doc_repetition(spark, sf_dir):
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1):
     dup-word/dup-line fractions + top 2-/3-gram mass per document.
-    One generator explode, two partial-aggregated shuffles — no
-    windows, no per-row Python (pipeline/curation.py)."""
+    One Arrow-batched mapInPandas pass, zero shuffle; the pure-JVM
+    impl="sql" face computes identical values (tests) and the DuckDB
+    oracle mirrors its shape (pipeline/curation.py)."""
     from pagerank_spark.pipeline import curation
 
     return curation.repetition_stats(_docs(spark, sf_dir), max_gram=3)

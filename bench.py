@@ -121,19 +121,30 @@ def main() -> None:
     ).persist()
     emb.count()
 
-    timed("doc_token_stats", lambda: textstats.token_counts(docs).count())
-    timed("doc_quality", lambda: textstats.quality_scores(docs).count())
-    timed("doc_repetition",
-          lambda: curation.repetition_stats(docs).count())
-    timed("doc_chunks",
-          lambda: curation.chunk_documents(docs).count())
+    # NOTE: projection-only operators are forced with a column agg —
+    # a bare count() lets Spark prune every column and measures only
+    # the parquet row count, not the operator (caught in round 5; the
+    # r3/r4 doc_token_stats/doc_quality readings were near-zero for
+    # this reason).
+    timed("doc_token_stats", lambda: textstats.token_counts(docs).agg(
+        F.sum("ws_tokens"), F.sum("bpe_tokens")).collect())
+    timed("doc_quality", lambda: textstats.quality_scores(docs).agg(
+        F.sum("quality"), F.sum("stop_ratio")).collect())
+    timed("doc_repetition", lambda: curation.repetition_stats(docs).agg(
+        F.sum("dup_word_frac"), F.sum("top_bigram_frac"),
+        F.sum("top_trigram_frac")).collect())
+    timed("doc_chunks", lambda: curation.chunk_documents(docs).agg(
+        F.sum("n_tok"), F.sum(F.length("chunk_text"))).collect())
     timed("docs_curated", lambda: curation.stratified_sample(
         docs.withColumn("lang", F.concat(F.lit("l"),
                                          F.col("doc_id") % 4)),
         {"l0": 0.5, "l1": 0.25, "l2": 0.1}, seed=7,
         default_rate=0.05).count())
+    # agg over length forces the regex projection (count() would
+    # prune the redacted column and measure nothing)
     timed("pii_redacted",
-          lambda: filtering.redact_pii(docs).count())
+          lambda: filtering.redact_pii(docs).agg(
+              F.sum(F.length("text"))).collect())
     bench_docs = docs.where(F.col("doc_id") % 41 == 3).select(
         F.col("doc_id").alias("bench_id"), "text")
     timed("contamination_flags",

