@@ -75,6 +75,14 @@ SSSP_SOURCE = 1  # sssp source vertex, both engines
 # small integers ((src+dst)%7+1), exact in doubles — no float drift.
 SSSP_ORACLE_ROUNDS = 25
 PPR_SOURCE = 1  # ppr_k3 personalization source, both engines
+# link_prediction: wedge-center degree cap (the scale guard — hub
+# commons carry ~no evidence and explode the self-join) and the
+# deterministic top-k cut, both engines
+LINKPRED_MAX_CENTER = 64
+LINKPRED_TOPK = 100
+HARMONIC_LANDMARKS = (1, 2, 3, 5)  # landmark set, both engines
+HARMONIC_MAX_DEPTH = 30            # hop cap, both engines
+WALK_STEPS = 4  # random_walks hop count, both engines
 EXACT_DUP_SAMPLE_IDS = 8  # bounded per-digest member sample, both engines
 TFIDF_K = 3        # doc_tfidf_topk neighbors per document, both engines
 IVF_CENTROIDS = 4  # ann_ivf_topk coarse-quantizer cells, both engines
@@ -453,6 +461,58 @@ def q_degree_distribution(spark, sf_dir):
     from pagerank_spark.operators.structure import degree_distribution
 
     return degree_distribution(_edges(spark, sf_dir))
+
+
+def q_link_prediction(spark, sf_dir):
+    """Neighborhood-overlap link prediction over the simple undirected
+    graph: top LINKPRED_TOPK non-adjacent pairs by the
+    integer-quantized Adamic-Adar score (wedge centers capped at
+    LINKPRED_MAX_CENTER degree — the scale guard, applied identically
+    in the oracle)."""
+    from pagerank_spark.operators.linkpred import link_prediction
+
+    out = link_prediction(_edges(spark, sf_dir),
+                          max_center_degree=LINKPRED_MAX_CENTER,
+                          top_k=LINKPRED_TOPK)
+    return out.select(
+        "u", "v", "common_neighbors", "deg_u", "deg_v",
+        F.round("jaccard", ROUND).alias("jaccard"),
+        "aa_q6", "pref_attach")
+
+
+def q_harmonic_centrality(spark, sf_dir):
+    """Landmark harmonic closeness (Eppstein-Wang estimator shape) via
+    ONE multi-source BFS keyed by (landmark, vertex); 1/d terms are
+    integer-quantized (floor(1e6/d)) so the aggregate is exact in both
+    engines.  Oracle = a recursive CTE seeded with all landmarks."""
+    from pagerank_spark.operators.centrality import harmonic_centrality
+
+    out = harmonic_centrality(_edges(spark, sf_dir),
+                              list(HARMONIC_LANDMARKS),
+                              max_depth=HARMONIC_MAX_DEPTH)
+    return out.select("id", "n_reached", "harmonic_q6",
+                      F.round("harmonic", 6).alias("harmonic"))
+
+
+def q_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk-style walk corpus: one WALK_STEPS-hop
+    walk per vertex over the symmetrized graph, next hop = the
+    md5-keyed minimum among the neighbors (portable hash family, so
+    the DuckDB oracle replays the identical walks step by step)."""
+    from pagerank_spark.operators.walks import random_walks
+
+    return random_walks(_edges(spark, sf_dir), num_steps=WALK_STEPS)
+
+
+def q_scc_condensation(spark, sf_dir):
+    """The condensation DAG over the SCC labeling: one row per ordered
+    pair of distinct components with the cross-component edge
+    multiplicity — the standard second act of an SCC run."""
+    from pagerank_spark import graph as G
+    from pagerank_spark.operators.scc import scc_condensation
+
+    e = _edges(spark, sf_dir)
+    return scc_condensation(e, n=G.num_vertices(e))
 
 
 def q_doc_token_stats(spark, sf_dir):
@@ -912,9 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted_k3": q_pagerank_weighted_k3,
         "connected_components": q_connected_components,
         "bfs_depths": q_bfs_depths,
-        "bfs_directed": q_bfs_directed,
         "sssp": q_sssp,
-        "components_domain": q_components_domain,
         "label_propagation_k2": q_label_propagation_k2,
         "triangle_count": q_triangle_count,
         "hits_k5": q_hits_k5,
@@ -922,6 +980,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": q_scc,
         "clustering_coeff": q_clustering_coeff,
         "kcore": q_kcore,
+        "link_prediction": q_link_prediction,
+        "harmonic_centrality": q_harmonic_centrality,
+        "random_walks": q_random_walks,
+        "scc_condensation": q_scc_condensation,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_language": q_doc_language,
@@ -930,7 +992,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "docs_curated": q_docs_curated,
         "pii_stats": q_pii_stats,
-        "pii_redacted": q_pii_redacted,
         "contamination_flags": q_contamination_flags,
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_signatures": q_minhash_signatures,
@@ -944,7 +1005,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         "video_frames": q_video_frames,
         "repo_file_shas": q_repo_file_shas,
-        "repo_module_owners": q_repo_module_owners,
         "repo_edges": q_repo_edges,
         "repo_pagerank_k3": q_repo_pagerank_k3,
         "events_decayed": q_events_decayed,
@@ -953,6 +1013,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- secondary faces (pytest-checked; outside the driver's
         # ---- 50-query window by design — variants of checked ops)
         "in_adjacency": q_in_adjacency,  # unsalted parity face
+        "bfs_directed": q_bfs_directed,  # directed bfs face
+        "components_domain": q_components_domain,  # CC dense-domain face
+        "pii_redacted": q_pii_redacted,  # same patterns as pii_stats
+        "repo_module_owners": q_repo_module_owners,  # extraction face
         "repo_vertex_ids": q_repo_vertex_ids,  # inside repo_pagerank_k3
         "exact_dup_stats": q_exact_dup_stats,  # exact_dup_groups face
         "docs_deduped": q_docs_deduped,  # exact-dedup filter face
@@ -1333,6 +1397,34 @@ def _kcore_unrolled_sql(k: int, rounds: int) -> str:
     return "".join(parts)
 
 
+def _walks_unrolled_sql(steps: int) -> str:
+    """Generate the unrolled DuckDB walk replay: per step, every live
+    walker picks the out-neighbor minimizing the md5-keyed ordering
+    string (operators/walks.py docstring) — one min aggregate per
+    step, exactly the engine's pick rule over the same symmetric edge
+    set, so the walks match hop for hop."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGE_SQL}),",
+        "sym AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst"
+        " UNION SELECT dst, src FROM edges WHERE src <> dst),",
+        "s0 AS (SELECT DISTINCT src AS walk_id, src AS cur FROM sym)",
+    ]
+    for t in range(1, steps + 1):
+        parts.append(f""",
+            s{t} AS MATERIALIZED (
+                SELECT w.walk_id, CAST(right(min(
+                    md5(w.walk_id::VARCHAR || ':{t}:' || e.dst::VARCHAR)
+                    || lpad(e.dst::VARCHAR, 12, '0')), 12) AS BIGINT) AS cur
+                FROM s{t - 1} w JOIN sym e ON e.src = w.cur
+                GROUP BY w.walk_id)""")
+    sel = "\nSELECT walk_id, CAST(0 AS INT) AS step, cur AS id FROM s0"
+    for t in range(1, steps + 1):
+        sel += (f"\nUNION ALL SELECT walk_id, CAST({t} AS INT) AS step,"
+                f" cur AS id FROM s{t}")
+    parts.append(sel)
+    return "".join(parts)
+
+
 _EN_STOPS = "['the','and','of','to','is']"
 
 _LANG_LISTS = {
@@ -1678,6 +1770,86 @@ def oracle_sql() -> dict[str, str]:
         "sssp_directed": _sssp_unrolled_sql(
             SSSP_SOURCE, SSSP_ORACLE_ROUNDS + 15, directed=True),
         "kcore": _kcore_unrolled_sql(KCORE_K, KCORE_ORACLE_ROUNDS),
+        "link_prediction": f"""
+            {edge_cte},
+            und AS (SELECT DISTINCT least(src, dst) AS lo,
+                                    greatest(src, dst) AS hi
+                    FROM edges WHERE src <> dst),
+            sym AS (SELECT lo AS src, hi AS dst FROM und
+                    UNION ALL SELECT hi, lo FROM und),
+            deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+            adj AS (SELECT s.src, s.dst,
+                           floor(1000000.0 / ln(d.deg))::BIGINT AS aa_term
+                    FROM sym s JOIN deg d ON s.src = d.id
+                    WHERE d.deg BETWEEN 2 AND {LINKPRED_MAX_CENTER}),
+            wedge AS (SELECT a.dst AS u, b.dst AS v, a.aa_term
+                      FROM adj a JOIN adj b
+                      ON a.src = b.src AND a.dst < b.dst),
+            sc AS (SELECT u, v, count(*) AS common_neighbors,
+                          sum(aa_term)::BIGINT AS aa_q6
+                   FROM wedge GROUP BY u, v),
+            cand AS (SELECT sc.* FROM sc
+                     LEFT JOIN sym e ON sc.u = e.src AND sc.v = e.dst
+                     WHERE e.src IS NULL)
+            SELECT c.u, c.v, c.common_neighbors,
+                   du.deg AS deg_u, dv.deg AS deg_v,
+                   round(c.common_neighbors
+                         / (du.deg + dv.deg - c.common_neighbors),
+                         {ROUND}) AS jaccard,
+                   c.aa_q6, (du.deg * dv.deg)::BIGINT AS pref_attach
+            FROM cand c JOIN deg du ON c.u = du.id
+                        JOIN deg dv ON c.v = dv.id
+            ORDER BY c.aa_q6 DESC, c.u, c.v LIMIT {LINKPRED_TOPK}
+        """,
+        "harmonic_centrality": f"""
+            WITH RECURSIVE edges AS ({_EDGE_SQL}),
+            sym AS (SELECT src, dst FROM edges WHERE src <> dst
+                    UNION
+                    SELECT dst, src FROM edges WHERE src <> dst),
+            r(s, id, d) AS (
+                SELECT u::BIGINT, u::BIGINT, 0
+                FROM (SELECT unnest([{", ".join(
+                    str(s) for s in HARMONIC_LANDMARKS)}]) AS u)
+                UNION
+                SELECT r.s, e.dst, r.d + 1
+                FROM r JOIN sym e ON e.src = r.id
+                WHERE r.d < {HARMONIC_MAX_DEPTH}
+            ),
+            md AS (SELECT s, id, min(d) AS d FROM r GROUP BY s, id)
+            SELECT id, count(*)::BIGINT AS n_reached,
+                   sum(floor(1000000.0 / d))::BIGINT AS harmonic_q6,
+                   round(sum(floor(1000000.0 / d))::BIGINT / 1000000.0, 6)
+                       AS harmonic
+            FROM md WHERE d > 0 GROUP BY id
+        """,
+        "random_walks": _walks_unrolled_sql(WALK_STEPS),
+        "scc_condensation": f"""
+            WITH RECURSIVE edges AS MATERIALIZED ({_EDGE_SQL}),
+            n AS (SELECT max(greatest(src, dst)) + 1 AS n FROM edges),
+            verts AS (SELECT unnest(generate_series(0,
+                (SELECT n - 1 FROM n)))::BIGINT AS id),
+            reach(a, b) AS (
+                SELECT src, dst FROM edges WHERE src <> dst
+                UNION
+                SELECT r.a, e.dst FROM reach r
+                JOIN edges e ON r.b = e.src WHERE e.src <> e.dst
+            ),
+            mutual AS (
+                SELECT r1.a, r1.b FROM reach r1
+                JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+            ),
+            lbl AS (
+                SELECT v.id, least(v.id, coalesce(min(m.b), v.id)) AS scc
+                FROM verts v LEFT JOIN mutual m ON m.a = v.id
+                GROUP BY v.id
+            )
+            SELECT a.scc AS scc_src, b.scc AS scc_dst,
+                   count(*)::BIGINT AS n_edges
+            FROM edges e JOIN lbl a ON e.src = a.id
+                         JOIN lbl b ON e.dst = b.id
+            WHERE e.src <> e.dst AND a.scc <> b.scc
+            GROUP BY 1, 2
+        """,
         "clustering_coeff": f"""
             {edge_cte},
             und AS (SELECT DISTINCT least(src, dst) AS lo,

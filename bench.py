@@ -103,6 +103,20 @@ def main() -> None:
           lambda: strongly_connected_components(g.edges, n=g.n).count())
     timed("clustering_coeff",
           lambda: clustering_coefficients(g.edges).count())
+    from pagerank_spark.operators.centrality import harmonic_centrality
+    from pagerank_spark.operators.linkpred import link_prediction
+    from pagerank_spark.operators.scc import scc_condensation
+    from pagerank_spark.operators.walks import random_walks
+    timed("link_prediction",
+          lambda: link_prediction(g.edges, max_center_degree=64,
+                                  top_k=100).count())
+    timed("harmonic_k4",
+          lambda: harmonic_centrality(g.edges, [1, 2, 3, 5]).agg(
+              F.sum("harmonic_q6")).collect())
+    timed("random_walks_k4",
+          lambda: random_walks(g.edges, num_steps=4).count())
+    timed("scc_condensation",
+          lambda: scc_condensation(g.edges, n=g.n).count())
 
     # -- extraction stage (pandas-UDF path) -------------------------------
     files, _ = datagen.repo_files_corpus(

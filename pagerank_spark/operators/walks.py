@@ -1,0 +1,143 @@
+"""Deterministic random-walk corpus generation (DeepWalk-style).
+
+Not in the reference engine (fixed-function PageRank,
+``/root/reference/pagerank/src/lib/pagerank.cpp``); walk corpora are
+the training-data face of a link graph — the input skip-gram graph
+embeddings (DeepWalk/node2vec) are trained on — and at web scale they
+are generated exactly like this: one frontier of walker heads,
+advanced one hop per superstep, never materializing more than
+|walkers| rows of state per step plus the edge table it probes.
+
+Determinism: the "random" next hop from vertex u at step t of walk w
+is the out-neighbor v minimizing
+
+    md5(w || ':' || t || ':' || v) || lpad(v, 12, '0')
+
+— a keyed hash order, so (a) results are reproducible bit-for-bit
+across runs/engines (md5 is the portable hash family every other
+operator here uses for cross-engine checks), (b) each (walk, step)
+draws an independent uniform pick among the neighbors, and (c) the
+12-digit zero-padded id suffix breaks md5-collision ties totally.
+The pick is one map-side-combined ``min`` aggregate per step — no
+window, no per-row Python.
+
+Physical strategy mirrors bfs.py: walk over the symmetrized edge set
+(directed web graphs strand walkers on sinks; DeepWalk walks are
+undirected), the walker frontier — whose row count the driver knows
+EXACTLY (it only shrinks, from |starts|) — broadcasts into the cached
+edge partitions, with the one-time src re-layout fallback above the
+broadcast bound.  Per-step lineage is truncated; a durable checkpoint
+cadence keeps long walks resumable-class.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from pagerank_spark.checkpoint import CheckpointManager
+from pagerank_spark.operators.bfs import BROADCAST_MAX_FRONTIER
+
+
+def _hop_key(walk_col, step: int, dst_col):
+    """The portable deterministic ordering key for one candidate hop."""
+    return F.concat(
+        F.md5(F.concat(walk_col.cast("string"), F.lit(f":{step}:"),
+                       dst_col.cast("string"))),
+        F.lpad(dst_col.cast("string"), 12, "0"))
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame | Sequence[int] | None = None,
+    num_steps: int = 4,
+    directed: bool = False,
+    checkpoint: CheckpointManager | None = None,
+) -> DataFrame:
+    """(walk_id, step, id): one walk per start vertex (walk_id = the
+    start id), advanced ``num_steps`` hops with the keyed-hash pick
+    above.  ``starts=None`` walks from every vertex incident to an
+    edge.  A walker with no out-neighbor (possible only when
+    ``directed=True``) stops early; its later steps are absent.
+    """
+    spark = edges.sparkSession
+    fwd = edges.select("src", "dst")
+    halves = [fwd]
+    if not directed:
+        halves.append(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    und = (
+        halves[0] if len(halves) == 1 else halves[0].unionByName(halves[1])
+    )
+    und = und.where(F.col("src") != F.col("dst")).persist()
+    if starts is None:
+        starts = und.select(F.col("src").alias("id")).distinct()
+    elif not isinstance(starts, DataFrame):
+        starts = spark.createDataFrame(
+            [(int(s),) for s in starts], "id BIGINT")
+    else:
+        starts = starts.select(F.col(starts.columns[0]).alias("id"))
+    if checkpoint is None:
+        import tempfile
+
+        checkpoint = CheckpointManager(
+            spark, tempfile.mkdtemp(prefix="walks_ckpt_"), interval=8)
+    try:
+        return _walk_loop(und, starts, num_steps, checkpoint)
+    finally:
+        und.unpersist()
+
+
+def _walk_loop(und: DataFrame, starts: DataFrame, num_steps: int,
+               checkpoint: CheckpointManager | None) -> DataFrame:
+    heads = (
+        starts.select(F.col("id").cast("bigint").alias("walk_id"))
+        .distinct()
+        .select("walk_id", F.lit(0).cast("int").alias("step"),
+                F.col("walk_id").alias("id"))
+        .persist()
+    )
+    out = heads
+    head_rows = heads.count()
+    laid_out = False
+    for t in range(1, num_steps + 1):
+        small = head_rows <= BROADCAST_MAX_FRONTIER
+        if not small and not laid_out:
+            relaid = und.repartition(
+                und.rdd.getNumPartitions(), "src").persist()
+            relaid.count()
+            und.unpersist()
+            und = relaid
+            laid_out = True
+        f_side = (heads.where(F.col("step") == t - 1)
+                  .select("walk_id", F.col("id").alias("src")))
+        nxt = (
+            und.join(F.broadcast(f_side) if small else f_side, "src")
+            .groupBy("walk_id")
+            .agg(F.min(_hop_key(F.col("walk_id"), t, F.col("dst")))
+                 .alias("key"))
+            .select("walk_id", F.lit(t).cast("int").alias("step"),
+                    F.expr("right(key, 12)").cast("bigint").alias("id"))
+        )
+        merged = out.unionByName(nxt)
+        if checkpoint is not None and checkpoint.should_checkpoint(t):
+            merged = checkpoint.write_state(merged, t).persist()
+        else:
+            merged = merged.localCheckpoint(eager=False)
+        row = merged.agg(
+            F.sum((F.col("step") == t).cast("long")).alias("alive")).first()
+        alive = int(row["alive"] or 0)
+        if checkpoint is not None and checkpoint.should_checkpoint(t):
+            checkpoint.write_metrics(t, {"alive": float(alive)})
+        heads.unpersist()
+        heads = merged.where(F.col("step") == t).persist() if alive else None
+        out = merged
+        head_rows = alive
+        if alive == 0:
+            break
+    if heads is not None:
+        heads.unpersist()
+    if laid_out:
+        und.unpersist()
+    return out.select("walk_id", "step", "id")
