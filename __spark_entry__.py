@@ -83,6 +83,12 @@ LINKPRED_TOPK = 100
 HARMONIC_LANDMARKS = (1, 2, 3, 5)  # landmark set, both engines
 HARMONIC_MAX_DEPTH = 30            # hop cap, both engines
 WALK_STEPS = 4  # random_walks hop count, both engines
+TRUSS_K = 20  # k-truss peel threshold, both engines
+# Unrolled peel rounds in the ktruss oracle; the engine peels to the
+# true fixpoint and truss peeling is monotone, so any round count >=
+# the cascade depth yields the identical edge set (the sf0.01 cascade
+# settles in 11 rounds, probed in DuckDB).
+TRUSS_ORACLE_ROUNDS = 13
 EXACT_DUP_SAMPLE_IDS = 8  # bounded per-digest member sample, both engines
 TFIDF_K = 3        # doc_tfidf_topk neighbors per document, both engines
 IVF_CENTROIDS = 4  # ann_ivf_topk coarse-quantizer cells, both engines
@@ -513,6 +519,15 @@ def q_scc_condensation(spark, sf_dir):
 
     e = _edges(spark, sf_dir)
     return scc_condensation(e, n=G.num_vertices(e))
+
+
+def q_ktruss(spark, sf_dir):
+    """TRUSS_K-truss membership via iterated triangle-support peel;
+    the oracle unrolls TRUSS_ORACLE_ROUNDS peel rounds (monotone, so
+    rounds past the engine's fixpoint are no-ops)."""
+    from pagerank_spark.operators.truss import k_truss
+
+    return k_truss(_edges(spark, sf_dir), TRUSS_K)
 
 
 def q_doc_token_stats(spark, sf_dir):
@@ -984,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": q_harmonic_centrality,
         "random_walks": q_random_walks,
         "scc_condensation": q_scc_condensation,
+        "ktruss": q_ktruss,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_language": q_doc_language,
@@ -1008,11 +1024,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_edges": q_repo_edges,
         "repo_pagerank_k3": q_repo_pagerank_k3,
         "events_decayed": q_events_decayed,
-        "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         # ---- secondary faces (pytest-checked; outside the driver's
         # ---- 50-query window by design — variants of checked ops)
         "in_adjacency": q_in_adjacency,  # unsalted parity face
+        "events_hourly": q_events_hourly,  # basic tumbling-window face
         "bfs_directed": q_bfs_directed,  # directed bfs face
         "components_domain": q_components_domain,  # CC dense-domain face
         "pii_redacted": q_pii_redacted,  # same patterns as pii_stats
@@ -1425,6 +1441,35 @@ def _walks_unrolled_sql(steps: int) -> str:
     return "".join(parts)
 
 
+def _truss_unrolled_sql(k: int, rounds: int) -> str:
+    """Generate the unrolled DuckDB k-truss peel: each round counts
+    per-edge triangle support over the survivors (id-ordered triangle
+    enumeration — support is orientation-independent) and keeps edges
+    with support >= k-2.  Peeling is monotone, so any round count >=
+    the cascade depth yields the fixpoint."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGE_SQL}),",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo,"
+        " greatest(src, dst) AS hi FROM edges WHERE src <> dst)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+            t{i} AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+                     FROM e{i - 1} e1
+                     JOIN e{i - 1} e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+                     JOIN e{i - 1} e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+            s{i} AS (SELECT lo, hi FROM (
+                         SELECT a AS lo, b AS hi FROM t{i}
+                         UNION ALL SELECT a, c FROM t{i}
+                         UNION ALL SELECT b, c FROM t{i})
+                     GROUP BY lo, hi HAVING count(*) >= {k - 2}),
+            e{i} AS MATERIALIZED (
+                SELECT e.lo, e.hi FROM e{i - 1} e
+                JOIN s{i} s ON e.lo = s.lo AND e.hi = s.hi)""")
+    parts.append(f"\nSELECT lo, hi FROM e{rounds}")
+    return "".join(parts)
+
+
 _EN_STOPS = "['the','and','of','to','is']"
 
 _LANG_LISTS = {
@@ -1823,6 +1868,7 @@ def oracle_sql() -> dict[str, str]:
             FROM md WHERE d > 0 GROUP BY id
         """,
         "random_walks": _walks_unrolled_sql(WALK_STEPS),
+        "ktruss": _truss_unrolled_sql(TRUSS_K, TRUSS_ORACLE_ROUNDS),
         "scc_condensation": f"""
             WITH RECURSIVE edges AS MATERIALIZED ({_EDGE_SQL}),
             n AS (SELECT max(greatest(src, dst)) + 1 AS n FROM edges),

@@ -117,6 +117,8 @@ def main() -> None:
           lambda: random_walks(g.edges, num_steps=4).count())
     timed("scc_condensation",
           lambda: scc_condensation(g.edges, n=g.n).count())
+    from pagerank_spark.operators.truss import k_truss
+    timed("ktruss_20", lambda: k_truss(g.edges, 20).count())
 
     # -- extraction stage (pandas-UDF path) -------------------------------
     files, _ = datagen.repo_files_corpus(

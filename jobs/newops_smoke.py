@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Scale smoke for the round-5 operators (BENCH/SCALE_SMOKE.md):
+
+- dense face: the standard 578M-edge / 50k-vertex power-law graph
+  (same synthesis as bench_scaling.py) — harmonic centrality from 4
+  landmarks, 4-step deterministic walks, SCC condensation;
+- sparse face: a 5M-vertex / 50M-edge power-law graph (avg degree 20,
+  the web-like shape where the wedge cap binds) — link prediction
+  with max_center_degree=64.
+
+Writes one JSON line per op to stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+DENSE = (50_000, 700_000_000)   # dedupes to ~578M, bench_scaling shape
+SPARSE = (5_000_000, 50_000_000)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.session import get_spark
+    from pagerank_spark import datagen
+    from pagerank_spark.operators.centrality import harmonic_centrality
+    from pagerank_spark.operators.linkpred import link_prediction
+    from pagerank_spark.operators.scc import scc_condensation
+    from pagerank_spark.operators.walks import random_walks
+
+    spark = get_spark(
+        app_name="newops_smoke", master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.driver.memory": "48g",
+                    "spark.ui.showConsoleProgress": "false"})
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        print(json.dumps({"op": name,
+                          "wall_s": round(time.monotonic() - t0, 1),
+                          "result": out}), flush=True)
+
+    dense_path = "/tmp/newops_dense.parquet"
+    if not os.path.exists(dense_path):
+        datagen.power_law_graph(
+            spark, n_vertices=DENSE[0], n_edges=DENSE[1], seed=42,
+            zipf_exponent=1.9, hub_fraction=0.05, partitions=64,
+        ).dropDuplicates(["src", "dst"]).write.mode(
+            "overwrite").parquet(dense_path)
+    dense = spark.read.parquet(dense_path)
+    print(json.dumps({"op": "dense_edges", "rows": dense.count()}),
+          flush=True)
+
+    timed("harmonic_k4_dense", lambda: harmonic_centrality(
+        dense, [1, 2, 3, 5]).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("harmonic_q6").alias("sum_q6")).first().asDict())
+    timed("random_walks_k4_dense", lambda: {
+        "rows": random_walks(dense, num_steps=4).count()})
+    timed("scc_condensation_dense", lambda: {
+        "cross_edges": scc_condensation(dense, n=DENSE[0]).count()})
+
+    sparse_path = "/tmp/newops_sparse.parquet"
+    if not os.path.exists(sparse_path):
+        datagen.power_law_graph(
+            spark, n_vertices=SPARSE[0], n_edges=SPARSE[1], seed=43,
+            zipf_exponent=1.9, partitions=64,
+        ).dropDuplicates(["src", "dst"]).write.mode(
+            "overwrite").parquet(sparse_path)
+    sparse = spark.read.parquet(sparse_path)
+    print(json.dumps({"op": "sparse_edges", "rows": sparse.count()}),
+          flush=True)
+
+    timed("link_prediction_sparse", lambda: {
+        "top_rows": link_prediction(
+            sparse, max_center_degree=64, top_k=1000).count()})
+    timed("harmonic_k4_sparse", lambda: harmonic_centrality(
+        sparse, [1, 2, 3, 5]).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("harmonic_q6").alias("sum_q6")).first().asDict())
+    timed("random_walks_k4_sparse", lambda: {
+        "rows": random_walks(sparse, num_steps=4).count()})
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -44,9 +44,19 @@ def _oriented(edges: DataFrame, symmetrized: bool = False) -> DataFrame:
     )
 
 
-def triangles(edges: DataFrame, symmetrized: bool = False) -> DataFrame:
-    """(a, b, c) — one row per triangle, a = min-order apex."""
+def triangles(edges: DataFrame, symmetrized: bool = False,
+              caches: list | None = None) -> DataFrame:
+    """(a, b, c) — one row per triangle, a = min-order apex.
+
+    The oriented edge set is persisted (it feeds both the wedge join
+    and the closing semi-join).  Loop callers (operators/truss.py)
+    pass ``caches`` to collect that persisted frame and release it
+    once the round's result is materialized — otherwise one cache per
+    call survives until the session drops it.
+    """
     o = _oriented(edges, symmetrized).persist()
+    if caches is not None:
+        caches.append(o)
     e1 = o.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     e2 = o.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
     wedges = e1.join(e2, "a").where(F.col("b") < F.col("c"))

@@ -304,3 +304,74 @@ def test_scc_condensation_reuses_labels_and_is_acyclic(spark):
                 if indeg[b] == 0:
                     order.append(b)
     assert seen == len(nodes)
+
+
+# ---------------------------------------------------------------- k-truss
+
+def truss_oracle(edges, k):
+    cur = {tuple(sorted((s, d))) for s, d in edges if s != d}
+    if k <= 2:
+        return cur
+    while True:
+        nbrs: dict[int, set[int]] = {}
+        for a, b in cur:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        nxt = {e for e in cur
+               if len(nbrs[e[0]] & nbrs[e[1]]) >= k - 2}
+        if nxt == cur:
+            return cur
+        cur = nxt
+
+
+def test_truss_clique_fixture(spark):
+    from pagerank_spark.operators.truss import k_truss
+
+    clique = _clique5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    got5 = {(r["lo"], r["hi"])
+            for r in k_truss(edges_df(spark, clique), 5).collect()}
+    assert got5 == set(clique)  # every edge has support 3
+    assert k_truss(edges_df(spark, clique), 6).collect() == []
+    # A pendant edge (support 0) peels off at k=3; its removal does
+    # not disturb the clique core.
+    got3 = {(r["lo"], r["hi"])
+            for r in k_truss(edges_df(spark, clique + [(4, 9)]), 3).collect()}
+    assert got3 == set(clique)
+
+
+def test_truss_cascade_chain(spark):
+    # Triangle strip (i, i+1) + (i, i+2): chords have support 1, spine
+    # edges 2.  k=4 peels the chords in round 1, which starves the
+    # spine (its triangles died with the chords) — a 2-round cascade
+    # to empty.  A K4 welded on at the far end has support 2 on every
+    # edge even after the strip dies, so it alone survives.
+    from pagerank_spark.operators.truss import k_truss
+
+    strip = [(i, i + 1) for i in range(6)] + [(i, i + 2) for i in range(5)]
+    k4 = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+    edges = strip + k4 + [(6, 10)]  # bridge from strip end into K4
+    got = {(r["lo"], r["hi"])
+           for r in k_truss(edges_df(spark, edges), 4).collect()}
+    assert got == truss_oracle(edges, 4)
+    assert got == set(k4)
+
+
+def test_truss_random_vs_oracle(spark):
+    from pagerank_spark.operators.truss import k_truss
+
+    rng = random.Random(31)
+    edges = list({(rng.randrange(15), rng.randrange(15))
+                  for _ in range(80)})
+    for k in (3, 4):
+        got = {(r["lo"], r["hi"])
+               for r in k_truss(edges_df(spark, edges), k).collect()}
+        assert got == truss_oracle(edges, k), k
+
+
+def test_truss_k2_returns_all(spark):
+    from pagerank_spark.operators.truss import k_truss
+
+    edges = [(0, 1), (1, 0), (1, 2), (2, 2)]
+    got = {(r["lo"], r["hi"])
+           for r in k_truss(edges_df(spark, edges), 2).collect()}
+    assert got == {(0, 1), (1, 2)}
