@@ -67,6 +67,7 @@ KCORE_K = 40  # kcore peel threshold, both engines
 # the sf0.01 cascade settles well inside this bound).
 KCORE_ORACLE_ROUNDS = 20
 BFS_SOURCE, BFS_MAX_DEPTH = 1, 50  # bfs_depths source + hop cap, both engines
+DIAM_SOURCE = 1  # diameter_2sweep start vertex, both engines
 SSSP_SOURCE = 1  # sssp source vertex, both engines
 # Unrolled Bellman-Ford rounds in the sssp oracle; the engine relaxes
 # to the true fixpoint, and full-relaxation rounds are monotone, so
@@ -299,6 +300,27 @@ def q_bfs_depths(spark, sf_dir):
 
     return bfs_depths(_edges(spark, sf_dir), [BFS_SOURCE],
                       max_depth=BFS_MAX_DEPTH)
+
+
+def q_diameter_2sweep(spark, sf_dir):
+    """Diameter lower bound via the standard double-sweep heuristic
+    (Magnien-Latapy-Habib): BFS from DIAM_SOURCE, re-BFS from the
+    farthest vertex reached (ties broken to the smaller id), report
+    that second eccentricity.  Exact on trees; within a small factor
+    on real web graphs — the scalable answer to "how wide is this
+    graph" (exact diameter is all-pairs).  One row
+    (far_id, ecc_start, diameter_lb); both sweeps reuse bfs_depths'
+    frontier-broadcast loop, with one 1-row collect between them."""
+    from pagerank_spark.operators.bfs import bfs_depths
+
+    e = _edges(spark, sf_dir)
+    d1 = bfs_depths(e, [DIAM_SOURCE], max_depth=BFS_MAX_DEPTH)
+    far = d1.orderBy(F.desc("depth"), F.asc("id")).first()
+    d2 = bfs_depths(e, [int(far["id"])], max_depth=BFS_MAX_DEPTH)
+    return d2.agg(
+        F.lit(int(far["id"])).cast("bigint").alias("far_id"),
+        F.lit(int(far["depth"])).cast("int").alias("ecc_start"),
+        F.max("depth").alias("diameter_lb"))
 
 
 def q_bfs_directed(spark, sf_dir):
@@ -1000,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "scc_condensation": q_scc_condensation,
         "ktruss": q_ktruss,
+        "diameter_2sweep": q_diameter_2sweep,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_language": q_doc_language,
@@ -1009,7 +1032,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_curated": q_docs_curated,
         "pii_stats": q_pii_stats,
         "contamination_flags": q_contamination_flags,
-        "exact_dup_groups": q_exact_dup_groups,
         "minhash_signatures": q_minhash_signatures,
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -1028,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- secondary faces (pytest-checked; outside the driver's
         # ---- 50-query window by design — variants of checked ops)
         "in_adjacency": q_in_adjacency,  # unsalted parity face
+        "exact_dup_groups": q_exact_dup_groups,  # 0-row at these SFs; stats/filter faces cover it
         "events_hourly": q_events_hourly,  # basic tumbling-window face
         "bfs_directed": q_bfs_directed,  # directed bfs face
         "components_domain": q_components_domain,  # CC dense-domain face
@@ -1869,6 +1892,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "random_walks": _walks_unrolled_sql(WALK_STEPS),
         "ktruss": _truss_unrolled_sql(TRUSS_K, TRUSS_ORACLE_ROUNDS),
+        "diameter_2sweep": f"""
+            WITH RECURSIVE edges AS ({_EDGE_SQL}),
+            sym AS (SELECT src, dst FROM edges WHERE src <> dst
+                    UNION
+                    SELECT dst, src FROM edges WHERE src <> dst),
+            r1(id, d) AS (
+                SELECT CAST({DIAM_SOURCE} AS BIGINT), 0
+                UNION
+                SELECT s.dst, r1.d + 1 FROM r1 JOIN sym s ON s.src = r1.id
+                WHERE r1.d < {BFS_MAX_DEPTH}
+            ),
+            m1 AS (SELECT id, min(d) AS d FROM r1 GROUP BY id),
+            far AS (SELECT id, d FROM m1 ORDER BY d DESC, id ASC LIMIT 1),
+            r2(id, d) AS (
+                SELECT id, 0 FROM far
+                UNION
+                SELECT s.dst, r2.d + 1 FROM r2 JOIN sym s ON s.src = r2.id
+                WHERE r2.d < {BFS_MAX_DEPTH}
+            ),
+            m2 AS (SELECT id, min(d) AS d FROM r2 GROUP BY id)
+            SELECT (SELECT id FROM far) AS far_id,
+                   (SELECT CAST(d AS INT) FROM far) AS ecc_start,
+                   CAST(max(d) AS INT) AS diameter_lb
+            FROM m2
+        """,
         "scc_condensation": f"""
             WITH RECURSIVE edges AS MATERIALIZED ({_EDGE_SQL}),
             n AS (SELECT max(greatest(src, dst)) + 1 AS n FROM edges),
