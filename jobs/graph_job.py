@@ -6,6 +6,7 @@ jobs/pagerank_job.py).
     spark-submit --py-files engine.zip jobs/graph_job.py \
         --edges /path/to/edges.parquet \
         --algos cc,lpa,triangles,bfs,sssp,hits,katz,kcore,ppr,scc,wpr,lcc,degdist \
+        [--algos ...,linkpred,harmonic,walks,condense,ktruss,diameter] \
         [--source 0] [--k 3] [--max-iter 20] [--out result.json]
 
 Every algorithm prints its summary into ONE JSON line, so the job is
@@ -30,11 +31,17 @@ def main() -> None:
     p.add_argument("--edges", required=True, help="parquet edge table (src,dst)")
     p.add_argument("--algos", default="cc,lpa,triangles",
                    help="comma list: cc,lpa,triangles,bfs,sssp,hits,"
-                        "katz,kcore,ppr,scc,wpr,lcc,degdist")
+                        "katz,kcore,ppr,scc,wpr,lcc,degdist,linkpred,"
+                        "harmonic,walks,condense,ktruss,diameter")
     p.add_argument("--master", default=None)
     p.add_argument("--source", type=int, default=0,
                    help="bfs/sssp/ppr source vertex")
-    p.add_argument("--k", type=int, default=3, help="k-core threshold")
+    p.add_argument("--k", type=int, default=3,
+                   help="k-core / k-truss threshold")
+    p.add_argument("--max-center", type=int, default=10_000,
+                   help="linkpred wedge-center degree cap")
+    p.add_argument("--walk-steps", type=int, default=4,
+                   help="random-walk hop count")
     p.add_argument("--katz-alpha", type=float, default=0.001,
                    help="katz attenuation (must be < 1/spectral radius)")
     p.add_argument("--max-iter", type=int, default=20,
@@ -80,7 +87,9 @@ def main() -> None:
 
     algos = {a.strip() for a in args.algos.split(",") if a.strip()}
     unknown = algos - {"cc", "lpa", "triangles", "bfs", "sssp", "hits",
-                       "katz", "kcore", "ppr", "scc", "wpr", "lcc", "degdist"}
+                       "katz", "kcore", "ppr", "scc", "wpr", "lcc", "degdist",
+                       "linkpred", "harmonic", "walks", "condense", "ktruss",
+                       "diameter"}
     if unknown:
         raise SystemExit(f"unknown algos: {sorted(unknown)}")
 
@@ -155,6 +164,48 @@ def main() -> None:
                         F.count(F.lit(1)).alias("buckets")).first()
             return {"max_out_deg": row["mx"], "buckets": row["buckets"]}
         run("degdist", _dd)
+
+    if "linkpred" in algos:
+        from pagerank_spark.operators.linkpred import link_prediction
+
+        def _lp():
+            top = link_prediction(g.edges, max_center_degree=args.max_center,
+                                  top_k=1).first()
+            return ({"top_pair": [top["u"], top["v"]],
+                     "aa_q6": top["aa_q6"]} if top else {"top_pair": None})
+        run("linkpred", _lp)
+    if "harmonic" in algos:
+        from pagerank_spark.operators.centrality import harmonic_centrality
+
+        def _harm():
+            h = harmonic_centrality(g.edges, [args.source])
+            row = h.agg(F.count(F.lit(1)).alias("n"),
+                        F.sum("harmonic_q6").alias("s")).first()
+            return {"scored": row["n"], "sum_q6": row["s"]}
+        run("harmonic", _harm)
+    if "walks" in algos:
+        from pagerank_spark.operators.walks import random_walks
+
+        run("walks", lambda: {"rows": random_walks(
+            g.edges, num_steps=args.walk_steps).count()})
+    if "condense" in algos:
+        from pagerank_spark.operators.scc import scc_condensation
+
+        run("condense", lambda: {"cross_edges": scc_condensation(
+            g.edges, n=g.n).count()})
+    if "ktruss" in algos:
+        from pagerank_spark.operators.truss import k_truss
+
+        run("ktruss", lambda: {"k": args.k,
+                               "edges": k_truss(g.edges, args.k).count()})
+    if "diameter" in algos:
+        def _diam():
+            d1 = bfs_depths(g.edges, [args.source])
+            far = d1.orderBy(F.desc("depth"), F.asc("id")).first()
+            d2 = bfs_depths(g.edges, [int(far["id"])])
+            return {"far_id": far["id"],
+                    "diameter_lb": d2.agg(F.max("depth")).first()[0]}
+        run("diameter", _diam)
 
     out = {"n_edges": g.edges.count(), "n_vertices": g.n, "algos": results}
     print(json.dumps(out))

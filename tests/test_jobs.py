@@ -41,6 +41,20 @@ def test_graph_job_end_to_end(spark, tmp_path):
     assert got["algos"]["degdist"]["buckets"] >= 1
 
 
+def test_graph_job_round5_algos(spark, tmp_path):
+    path, _ = _stage_edges(spark, tmp_path)
+    got = _run("graph_job.py", "--edges", path, "--master", "local[4]",
+               "--algos", "linkpred,harmonic,walks,condense,ktruss,diameter",
+               "--source", "0", "--k", "3", "--walk-steps", "2")
+    a = got["algos"]
+    assert a["harmonic"]["scored"] >= 1
+    assert a["walks"]["rows"] >= 1
+    assert a["condense"]["cross_edges"] >= 0
+    assert a["ktruss"]["k"] == 3
+    assert a["diameter"]["diameter_lb"] >= 1
+    assert "linkpred" in a
+
+
 def test_graph_job_rejects_unknown_algo(spark, tmp_path):
     path, _ = _stage_edges(spark, tmp_path)
     proc = subprocess.run(
