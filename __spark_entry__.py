@@ -83,7 +83,13 @@ LINKPRED_MAX_CENTER = 64
 LINKPRED_TOPK = 100
 HARMONIC_LANDMARKS = (1, 2, 3, 5)  # landmark set, both engines
 HARMONIC_MAX_DEPTH = 30            # hop cap, both engines
+EIGEN_K = 5  # eigenvector_k5 power-iteration count, both engines
 WALK_STEPS = 4  # random_walks hop count, both engines
+# token-budget mixture (curation.token_budget_sample), both engines:
+# zh's budget deliberately exceeds its corpus at every SF (rate caps
+# at 1.0), en/de sit mid-range, es/fr carry no budget line (dropped)
+# — all three regimes of the mixture spec are exercised.
+MIXTURE_BUDGETS = {"de": 2000, "en": 5000, "zh": 100000}
 TRUSS_K = 20  # k-truss peel threshold, both engines
 # Unrolled peel rounds in the ktruss oracle; the engine peels to the
 # true fixpoint and truss peeling is monotone, so any round count >=
@@ -461,6 +467,20 @@ def q_katz_k5(spark, sf_dir):
     return res.ranks.select("id", F.round("katz", ROUND).alias("katz"))
 
 
+def q_eigenvector_k5(spark, sf_dir):
+    """EIGEN_K power-iteration steps toward the principal eigenvector
+    of A^T (raw in-edge gather, L2 normalize per step, all-ones
+    init); the oracle unrolls the identical gather + normalize chain
+    (same norm-in-subquery shape as the HITS oracle)."""
+    from pagerank_spark.operators.eigencentrality import (
+        eigenvector_centrality,
+    )
+
+    res = eigenvector_centrality(_graph(spark, sf_dir), max_iter=EIGEN_K,
+                                 tol=0.0)
+    return res.ranks.select("id", F.round("eigen", ROUND).alias("eigen"))
+
+
 def q_clustering_coeff(spark, sf_dir):
     """Local clustering coefficient over the simple undirected graph:
     triangle membership (degree-oriented enumeration) against the
@@ -520,6 +540,26 @@ def q_harmonic_centrality(spark, sf_dir):
                               max_depth=HARMONIC_MAX_DEPTH)
     return out.select("id", "n_reached", "harmonic_q6",
                       F.round("harmonic", 6).alias("harmonic"))
+
+
+def q_closeness_centrality(spark, sf_dir):
+    """Landmark closeness (the harmonic estimator's other face): one
+    multi-source BFS, integer distance sums, floor-quantized score —
+    every reported number derives from exact integer arithmetic."""
+    from pagerank_spark.operators.centrality import closeness_centrality
+
+    return closeness_centrality(_edges(spark, sf_dir),
+                                list(HARMONIC_LANDMARKS),
+                                max_depth=HARMONIC_MAX_DEPTH)
+
+
+def q_bipartite_components(spark, sf_dir):
+    """Per-component bipartite test: BFS-parity 2-coloring from each
+    component's min-id root, odd edges counted as odd-cycle
+    witnesses; CC labels double as the BFS root set."""
+    from pagerank_spark.operators.structure import bipartite_check
+
+    return bipartite_check(_edges(spark, sf_dir), max_depth=BFS_MAX_DEPTH)
 
 
 def q_random_walks(spark, sf_dir):
@@ -639,6 +679,27 @@ def q_docs_curated(spark, sf_dir):
     return curation.stratified_sample(
         survivors, CURATION_RATES, stratum_col="lang", seed=CURATION_SEED,
         default_rate=CURATION_DEFAULT_RATE).select("doc_id", "lang")
+
+
+def q_docs_mixture(spark, sf_dir):
+    """Token-budget data mixing: per-lang keep rate =
+    min(1, budget / total_tokens) decided by the shared md5 deviate —
+    one agg + broadcast join + integer-compare filter, no sort."""
+    from pagerank_spark.pipeline import curation
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return curation.token_budget_sample(
+        docs, MIXTURE_BUDGETS, stratum_col="lang", seed=CURATION_SEED)
+
+
+def q_mixture_stats(spark, sf_dir):
+    """Audit table for the docs_mixture budgets: requested token
+    budget vs kept token mass per stratum."""
+    from pagerank_spark.pipeline import curation
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return curation.token_budget_stats(
+        docs, MIXTURE_BUDGETS, stratum_col="lang", seed=CURATION_SEED)
 
 
 def _pii_docs(spark, sf_dir):
@@ -1014,13 +1075,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "hits_k5": q_hits_k5,
         "katz_k5": q_katz_k5,
+        "eigenvector_k5": q_eigenvector_k5,
         "scc": q_scc,
         "clustering_coeff": q_clustering_coeff,
         "kcore": q_kcore,
+        "bipartite_components": q_bipartite_components,
         "link_prediction": q_link_prediction,
         "harmonic_centrality": q_harmonic_centrality,
         "random_walks": q_random_walks,
-        "scc_condensation": q_scc_condensation,
         "ktruss": q_ktruss,
         "diameter_2sweep": q_diameter_2sweep,
         "doc_token_stats": q_doc_token_stats,
@@ -1028,8 +1090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_language": q_doc_language,
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "doc_repetition": q_doc_repetition,
-        "doc_chunks": q_doc_chunks,
         "docs_curated": q_docs_curated,
+        "docs_mixture": q_docs_mixture,
         "pii_stats": q_pii_stats,
         "contamination_flags": q_contamination_flags,
         "minhash_signatures": q_minhash_signatures,
@@ -1038,7 +1100,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,  # oracle via _ivf_unrolled_sql
-        "ann_lsh_topk": q_ann_lsh_topk,
         "simhash_near_pairs": q_simhash_near_pairs,
         "media_metadata": q_media_metadata,
         "video_frames": q_video_frames,
@@ -1049,6 +1110,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         # ---- secondary faces (pytest-checked; outside the driver's
         # ---- 50-query window by design — variants of checked ops)
+        "ann_lsh_topk": q_ann_lsh_topk,  # LSH bucketing also covered by
+        #   embedding_near_dups + simhash_near_pairs; ANN top-k by
+        #   ann_topk/ann_ivf_topk
+        "doc_chunks": q_doc_chunks,  # pure-projection windowing face
+        "scc_condensation": q_scc_condensation,  # derived from scc
+        "closeness_centrality": q_closeness_centrality,  # harmonic face
+        "mixture_stats": q_mixture_stats,  # docs_mixture audit face
         "in_adjacency": q_in_adjacency,  # unsalted parity face
         "exact_dup_groups": q_exact_dup_groups,  # 0-row at these SFs; stats/filter faces cover it
         "events_hourly": q_events_hourly,  # basic tumbling-window face
@@ -1144,6 +1212,33 @@ _SAMPLE_THRESHOLD_CASE = ("CASE lang " + " ".join(
 _SAMPLE_DEV_SQL = (
     "('0x' || substr(md5('sample:" + str(CURATION_SEED)
     + ":' || doc_id::VARCHAR), 1, 15))::BIGINT")
+
+# Token-budget mixture (curation.token_budget_sample): per-stratum
+# total tokens → rate = min(1, budget / total) → 60-bit integer
+# threshold, same md5 deviate as the stratified sample.  Strata
+# without a budget line drop out (budget CASE yields NULL).
+_MIXTURE_CASE = ("CASE stratum " + " ".join(
+    f"WHEN '{s}' THEN {int(b)}"
+    for s, b in sorted(MIXTURE_BUDGETS.items())) + " ELSE NULL END")
+
+_MIXTURE_BASE_SQL = rf"""
+    mbase AS (
+        SELECT doc_id, lang AS stratum,
+               len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT
+                   AS n_tok,
+               {_SAMPLE_DEV_SQL} AS dev
+        FROM documents),
+    mthr AS (
+        SELECT stratum, sum(n_tok)::BIGINT AS total_tok,
+               {_MIXTURE_CASE}::BIGINT AS budget_tok
+        FROM mbase GROUP BY stratum),
+    mrate AS (
+        SELECT stratum, total_tok, budget_tok,
+               least(1.0::DOUBLE, budget_tok / total_tok) AS rate,
+               floor(least(1.0::DOUBLE, budget_tok / total_tok)
+                     * {1 << 60}::DOUBLE)::BIGINT AS thr
+        FROM mthr WHERE budget_tok IS NOT NULL)
+"""
 
 # PII augmentation twin of _pii_docs (plants deterministic matches on
 # the synthetic corpus; same lattice, same literals).
@@ -1305,6 +1400,34 @@ def _katz_unrolled_sql(k: int, alpha: float) -> str:
                      1.0 + {alpha!r}::DOUBLE * coalesce(g.c, 0) AS katz
                      FROM verts v LEFT JOIN g{i} g ON v.id = g.id)""")
     parts.append(f"\nSELECT id, round(katz, {ROUND}) AS katz FROM x{k}")
+    return "".join(parts)
+
+
+def _eigen_unrolled_sql(k: int) -> str:
+    """Generate the k-step unrolled DuckDB eigenvector-centrality
+    chain: all-ones init, per step a raw in-edge gather followed by
+    an L2 normalize (norm in a scalar subquery over the gathered
+    rows — vertices missing from the gather are exactly the zeros,
+    so the norm is unaffected) — mirrors
+    operators/eigencentrality.py."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGE_SQL}),",
+        "n AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n"
+        " FROM edges),",
+        "verts AS MATERIALIZED (SELECT unnest(generate_series(0,"
+        " (SELECT n - 1 FROM n)))::BIGINT AS id),",
+        "x0 AS (SELECT id, 1.0 AS x FROM verts)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(f""",
+            g{i} AS (SELECT e.dst AS id, sum(x.x) AS xu
+                     FROM edges e JOIN x{i - 1} x ON e.src = x.id
+                     GROUP BY e.dst),
+            x{i} AS MATERIALIZED (SELECT v.id,
+                     coalesce(g.xu, 0) / (SELECT sqrt(sum(xu * xu))
+                                          FROM g{i}) AS x
+                     FROM verts v LEFT JOIN g{i} g ON v.id = g.id)""")
+    parts.append(f"\nSELECT id, round(x, {ROUND}) AS eigen FROM x{k}")
     return "".join(parts)
 
 
@@ -1809,6 +1932,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hits_k5": _hits_unrolled_sql(HITS_K),
         "katz_k5": _katz_unrolled_sql(KATZ_K, KATZ_ALPHA),
+        "eigenvector_k5": _eigen_unrolled_sql(EIGEN_K),
         # SCC oracle: mutual reachability over the recursive transitive
         # closure (feasible at sf scale: only ~100 supplier ids have
         # out-edges, so closure size is O(|sources| x |V|)).
@@ -1889,6 +2013,69 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(floor(1000000.0 / d))::BIGINT / 1000000.0, 6)
                        AS harmonic
             FROM md WHERE d > 0 GROUP BY id
+        """,
+        "closeness_centrality": f"""
+            WITH RECURSIVE edges AS ({_EDGE_SQL}),
+            sym AS (SELECT src, dst FROM edges WHERE src <> dst
+                    UNION
+                    SELECT dst, src FROM edges WHERE src <> dst),
+            r(s, id, d) AS (
+                SELECT u::BIGINT, u::BIGINT, 0
+                FROM (SELECT unnest([{", ".join(
+                    str(s) for s in HARMONIC_LANDMARKS)}]) AS u)
+                UNION
+                SELECT r.s, e.dst, r.d + 1
+                FROM r JOIN sym e ON e.src = r.id
+                WHERE r.d < {HARMONIC_MAX_DEPTH}
+            ),
+            md AS (SELECT s, id, min(d) AS d FROM r GROUP BY s, id)
+            SELECT id, count(*)::BIGINT AS n_reached,
+                   sum(d)::BIGINT AS sum_dist,
+                   floor(count(*) * 1000000.0 / sum(d))::BIGINT
+                       AS closeness_q6,
+                   floor(count(*) * 1000000.0 / sum(d))::BIGINT / 1000000.0
+                       AS closeness
+            FROM md WHERE d > 0 GROUP BY id
+        """,
+        "bipartite_components": f"""
+            WITH RECURSIVE edges AS ({_EDGE_SQL}),
+            sym AS (SELECT src, dst FROM edges WHERE src <> dst
+                    UNION
+                    SELECT dst, src FROM edges WHERE src <> dst),
+            verts AS (SELECT DISTINCT src AS id FROM edges
+                      UNION
+                      SELECT DISTINCT dst FROM edges),
+            reach(id, r) AS (
+                SELECT id, id FROM verts
+                UNION
+                SELECT re.id, s.dst FROM reach re JOIN sym s ON re.r = s.src
+            ),
+            comp AS MATERIALIZED (
+                SELECT id, min(r) AS component FROM reach GROUP BY id),
+            b(id, d) AS (
+                SELECT DISTINCT component, 0 FROM comp
+                UNION
+                SELECT s.dst, b.d + 1 FROM b JOIN sym s ON s.src = b.id
+                WHERE b.d < {BFS_MAX_DEPTH}
+            ),
+            par AS MATERIALIZED (
+                SELECT id, min(d) % 2 AS par FROM b GROUP BY id),
+            und AS (SELECT DISTINCT least(src, dst) AS lo,
+                                    greatest(src, dst) AS hi
+                    FROM edges WHERE src <> dst),
+            odd AS (
+                SELECT c.component, count(*)::BIGINT AS odd_edges
+                FROM und u
+                JOIN par p1 ON u.lo = p1.id
+                JOIN par p2 ON u.hi = p2.id
+                JOIN comp c ON c.id = u.lo
+                WHERE p1.par = p2.par
+                GROUP BY c.component)
+            SELECT c.component, count(*)::BIGINT AS n_vertices,
+                   coalesce(max(o.odd_edges), 0)::BIGINT AS odd_edges,
+                   coalesce(max(o.odd_edges), 0) = 0 AS is_bipartite
+            FROM comp c LEFT JOIN odd o ON o.component = c.component
+            GROUP BY c.component
         """,
         "random_walks": _walks_unrolled_sql(WALK_STEPS),
         "ktruss": _truss_unrolled_sql(TRUSS_K, TRUSS_ORACLE_ROUNDS),
@@ -2130,6 +2317,25 @@ def oracle_sql() -> dict[str, str]:
               AND r.top_bigram_frac <= {REP_MAX_TOP_BIGRAM}
               AND {_SAMPLE_DEV_SQL.replace("doc_id", "d.doc_id")}
                   < {_SAMPLE_THRESHOLD_CASE.replace("lang", "d.lang")}
+        """,
+        "docs_mixture": f"""
+            WITH {_MIXTURE_BASE_SQL}
+            SELECT b.doc_id, b.stratum, b.n_tok
+            FROM mbase b JOIN mrate t ON b.stratum = t.stratum
+            WHERE b.dev < t.thr
+        """,
+        "mixture_stats": f"""
+            WITH {_MIXTURE_BASE_SQL},
+            mkept AS (
+                SELECT b.stratum, count(*)::BIGINT AS kept_docs,
+                       sum(b.n_tok)::BIGINT AS kept_tok
+                FROM mbase b JOIN mrate t ON b.stratum = t.stratum
+                WHERE b.dev < t.thr GROUP BY b.stratum)
+            SELECT t.stratum, t.total_tok, t.budget_tok,
+                   round(t.rate, 6) AS rate,
+                   coalesce(k.kept_docs, 0)::BIGINT AS kept_docs,
+                   coalesce(k.kept_tok, 0)::BIGINT AS kept_tok
+            FROM mrate t LEFT JOIN mkept k ON t.stratum = k.stratum
         """,
         "pii_stats": f"""
             WITH {_PII_AUG_SQL}

@@ -119,6 +119,15 @@ def main() -> None:
           lambda: scc_condensation(g.edges, n=g.n).count())
     from pagerank_spark.operators.truss import k_truss
     timed("ktruss_20", lambda: k_truss(g.edges, 20).count())
+    from pagerank_spark.operators.eigencentrality import (
+        eigenvector_centrality)
+    timed("eigenvector_k8",
+          lambda: eigenvector_centrality(g, max_iter=8,
+                                         tol=0.0).ranks.count())
+    from pagerank_spark.operators.structure import bipartite_check
+    timed("bipartite",
+          lambda: bipartite_check(g.edges).agg(
+              F.sum("odd_edges"), F.sum("n_vertices")).collect())
 
     # -- extraction stage (pandas-UDF path) -------------------------------
     files, _ = datagen.repo_files_corpus(
@@ -156,6 +165,13 @@ def main() -> None:
                                          F.col("doc_id") % 4)),
         {"l0": 0.5, "l1": 0.25, "l2": 0.1}, seed=7,
         default_rate=0.05).count())
+    # token-budget mixture: agg over n_tok forces the tokenizer
+    # projection (count() would prune it)
+    timed("docs_mixture", lambda: curation.token_budget_sample(
+        docs.withColumn("lang", F.concat(F.lit("l"),
+                                         F.col("doc_id") % 4)),
+        {"l0": 100_000, "l1": 50_000, "l2": 10_000}, seed=7).agg(
+        F.sum("n_tok")).collect())
     # agg over length forces the regex projection (count() would
     # prune the redacted column and measure nothing)
     timed("pii_redacted",

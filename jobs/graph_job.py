@@ -7,6 +7,7 @@ jobs/pagerank_job.py).
         --edges /path/to/edges.parquet \
         --algos cc,lpa,triangles,bfs,sssp,hits,katz,kcore,ppr,scc,wpr,lcc,degdist \
         [--algos ...,linkpred,harmonic,walks,condense,ktruss,diameter] \
+        [--algos ...,eigen,closeness,bipartite] \
         [--source 0] [--k 3] [--max-iter 20] [--out result.json]
 
 Every algorithm prints its summary into ONE JSON line, so the job is
@@ -32,7 +33,8 @@ def main() -> None:
     p.add_argument("--algos", default="cc,lpa,triangles",
                    help="comma list: cc,lpa,triangles,bfs,sssp,hits,"
                         "katz,kcore,ppr,scc,wpr,lcc,degdist,linkpred,"
-                        "harmonic,walks,condense,ktruss,diameter")
+                        "harmonic,walks,condense,ktruss,diameter,"
+                        "eigen,closeness,bipartite")
     p.add_argument("--master", default=None)
     p.add_argument("--source", type=int, default=0,
                    help="bfs/sssp/ppr source vertex")
@@ -89,7 +91,7 @@ def main() -> None:
     unknown = algos - {"cc", "lpa", "triangles", "bfs", "sssp", "hits",
                        "katz", "kcore", "ppr", "scc", "wpr", "lcc", "degdist",
                        "linkpred", "harmonic", "walks", "condense", "ktruss",
-                       "diameter"}
+                       "diameter", "eigen", "closeness", "bipartite"}
     if unknown:
         raise SystemExit(f"unknown algos: {sorted(unknown)}")
 
@@ -198,6 +200,37 @@ def main() -> None:
 
         run("ktruss", lambda: {"k": args.k,
                                "edges": k_truss(g.edges, args.k).count()})
+    if "eigen" in algos:
+        from pagerank_spark.operators.eigencentrality import (
+            eigenvector_centrality)
+
+        def _eigen():
+            r = eigenvector_centrality(g, max_iter=args.max_iter, tol=0.0)
+            top = r.ranks.orderBy(F.desc("eigen"), F.asc("id")).first()
+            return {"iterations": r.iterations,
+                    "top_id": top["id"], "top_eigen": top["eigen"]}
+        run("eigen", _eigen)
+    if "closeness" in algos:
+        from pagerank_spark.operators.centrality import closeness_centrality
+
+        def _close():
+            c = closeness_centrality(g.edges, [args.source])
+            row = c.agg(F.count(F.lit(1)).alias("n"),
+                        F.sum("closeness_q6").alias("s")).first()
+            return {"scored": row["n"], "sum_q6": row["s"]}
+        run("closeness", _close)
+    if "bipartite" in algos:
+        from pagerank_spark.operators.structure import bipartite_check
+
+        def _bip():
+            b = bipartite_check(g.edges)
+            row = b.agg(
+                F.count(F.lit(1)).alias("comps"),
+                F.sum(F.col("is_bipartite").cast("int")).alias("bip"),
+                F.sum("odd_edges").alias("odd")).first()
+            return {"components": row["comps"],
+                    "bipartite": row["bip"], "odd_edges": row["odd"]}
+        run("bipartite", _bip)
     if "diameter" in algos:
         def _diam():
             d1 = bfs_depths(g.edges, [args.source])

@@ -158,3 +158,44 @@ def harmonic_centrality(
                 (F.col("harmonic_q6") / F.lit(float(HARMONIC_SCALE)))
                 .alias("harmonic"))
     )
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    landmarks: DataFrame | Sequence[int],
+    max_depth: int = 50,
+    directed: bool = False,
+    checkpoint: CheckpointManager | None = None,
+) -> DataFrame:
+    """(id, n_reached, sum_dist, closeness_q6, closeness): landmark
+    closeness — the other face of the Eppstein-Wang estimator
+    (harmonic sums 1/d; closeness inverts the MEAN distance to the
+    landmarks that reach the vertex):
+
+        closeness(v) = n_reached(v) / Σ_{s ∈ L, 0 < d(s,v)} d(s, v)
+
+    Shares one multi-source BFS with :func:`harmonic_centrality`
+    (same frontier-broadcast physical plan).  Cross-engine float
+    discipline matches harmonic's: ``n_reached`` and ``sum_dist``
+    are exact BIGINT aggregates, ``closeness_q6`` =
+    floor(1e6 · n_reached / sum_dist) is ONE IEEE double divide of
+    two exact integers then a floor — bit-identical everywhere — and
+    ``closeness`` = closeness_q6 / 1e6 is derived from the integer.
+    Vertices no landmark reaches are absent (their closeness is 0
+    by convention).
+    """
+    dist = multi_source_bfs(edges, landmarks, max_depth=max_depth,
+                            directed=directed, checkpoint=checkpoint)
+    pos = dist.where(F.col("depth") > 0)
+    return (
+        pos.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_reached"),
+             F.sum("depth").cast("bigint").alias("sum_dist"))
+        .select("id", "n_reached", "sum_dist",
+                F.floor(F.col("n_reached") * F.lit(float(HARMONIC_SCALE))
+                        / F.col("sum_dist"))
+                .cast("bigint").alias("closeness_q6"))
+        .select("id", "n_reached", "sum_dist", "closeness_q6",
+                (F.col("closeness_q6") / F.lit(float(HARMONIC_SCALE)))
+                .alias("closeness"))
+    )

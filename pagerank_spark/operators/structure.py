@@ -170,6 +170,75 @@ def degree_distribution(edges: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_vertices"))
 
 
+def bipartite_check(edges: DataFrame,
+                    max_depth: int = 50,
+                    checkpoint: CheckpointManager | None = None,
+                    ) -> DataFrame:
+    """(component, n_vertices, odd_edges, is_bipartite) per connected
+    component of the simple undirected graph.
+
+    Classical parity test: BFS depth parity from a component's root is
+    a proper 2-coloring iff the component is bipartite, and every
+    undirected simple edge whose endpoints share a parity witnesses an
+    odd cycle (``odd_edges`` counts those witnesses, one per canonical
+    lo<hi pair).  Self-loops are excluded by the engine-wide
+    simple-graph convention (triangles/lcc drop them too); a vertex
+    whose only edge is a self-loop is its own bipartite singleton.
+
+    Physical strategy — three proven primitives, no new shuffle shape:
+    one large-star/small-star components run (labels double as the
+    per-component BFS roots: the CC label IS the component's min
+    vertex id, so the root set needs no extra join), ONE merged-wave
+    multi-root BFS (components are disjoint, so every vertex's depth
+    in the merged wave is the distance to its own root), and one
+    broadcast-sized parity join over the canonical edge list.  All
+    per-component aggregates are map-side combined; output is one row
+    per component.
+    """
+    from pagerank_spark.operators.bfs import bfs_depths
+    from pagerank_spark.operators.components import connected_components
+
+    comp = connected_components(edges).persist()
+    try:
+        roots = comp.select(F.col("component").alias("id")).distinct()
+        parity = (
+            bfs_depths(edges, roots, max_depth=max_depth,
+                       checkpoint=checkpoint)
+            .select("id", (F.col("depth") % 2).alias("par"))
+        )
+        und = (
+            edges.select(F.least("src", "dst").alias("lo"),
+                         F.greatest("src", "dst").alias("hi"))
+            .where(F.col("lo") != F.col("hi"))
+            .dropDuplicates(["lo", "hi"])
+        )
+        odd = (
+            und
+            .join(parity.select(F.col("id").alias("lo"),
+                                F.col("par").alias("par_lo")), "lo")
+            .join(parity.select(F.col("id").alias("hi"),
+                                F.col("par").alias("par_hi")), "hi")
+            .where(F.col("par_lo") == F.col("par_hi"))
+            .join(comp.select(F.col("id").alias("lo"), "component"), "lo")
+            .groupBy("component")
+            .agg(F.count(F.lit(1)).alias("odd_edges"))
+        )
+        out = (
+            comp.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("n_vertices"))
+            .join(odd, "component", "left")
+            .select(
+                "component", "n_vertices",
+                F.coalesce("odd_edges", F.lit(0)).alias("odd_edges"),
+                (F.coalesce("odd_edges", F.lit(0)) == 0)
+                .alias("is_bipartite"))
+        )
+        # Materialize before releasing the CC cache the plan reads.
+        return out.localCheckpoint(eager=True)
+    finally:
+        comp.unpersist()
+
+
 def degree_assortativity(edges: DataFrame) -> DataFrame:
     """One row (n_directed_pairs, assortativity): Pearson correlation
     of endpoint degrees over the symmetrized simple graph (each

@@ -271,6 +271,101 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
     return docs.where(dev < thr)
 
 
+def _budget_rates(base: DataFrame, budgets: dict[str, int]) -> DataFrame:
+    """Per-stratum keep thresholds for a token budget: one small agg
+    (map-side combined, ≤ |strata| rows) joined broadcast back to the
+    corpus.  rate = min(1, budget / total_tokens); the row-level
+    keep decision compares the 60-bit md5 deviate against
+    floor(rate · 2^60) — both factors are single IEEE-double ops over
+    exact integers, so every engine computes the identical BIGINT
+    threshold (no accumulation-order drift)."""
+    totals = base.groupBy("stratum").agg(
+        F.sum("n_tok").alias("total_tok"))
+    bud = F.lit(None).cast("bigint")
+    for stratum, budget in sorted(budgets.items()):
+        if budget < 0:
+            raise ValueError(f"budget for {stratum!r} negative: {budget}")
+        bud = F.when(F.col("stratum") == stratum,
+                     F.lit(int(budget)).cast("bigint")).otherwise(bud)
+    return (
+        totals.select("stratum", "total_tok", bud.alias("budget_tok"))
+        # Strata without a budget line are dropped entirely (a mixture
+        # spec lists every source it wants; silence means weight 0).
+        .where(F.col("budget_tok").isNotNull())
+        .select(
+            "stratum", "total_tok", "budget_tok",
+            F.least(F.lit(1.0),
+                    F.col("budget_tok") / F.col("total_tok")).alias("rate"))
+        .select(
+            "stratum", "total_tok", "budget_tok", "rate",
+            F.floor(F.col("rate") * F.lit(float(_HASH_SPACE)))
+            .cast("bigint").alias("thr"))
+    )
+
+
+def token_budget_sample(docs: DataFrame, budgets: dict[str, int],
+                        stratum_col: str = "lang",
+                        seed: int = 42) -> DataFrame:
+    """(doc_id, stratum, n_tok): token-budget data mixing — keep a
+    deterministic Bernoulli sample of each stratum sized so the KEPT
+    token mass ≈ ``budgets[stratum]`` in expectation (rate =
+    min(1, budget / total_tokens)).
+
+    This is the mixture primitive a training-data pipeline runs last:
+    "2B tokens of code, 500M of forum text" becomes one agg + one
+    broadcast join + a stateless integer-compare filter — no sort, no
+    window, no driver loop, so the plan is identical at 100 TB (a
+    per-stratum running-sum cutoff would serialize each stratum
+    through one window task; the Bernoulli form trades exact cutoff
+    for expectation-exact mass and full parallelism).  The deviate is
+    the same md5 family as :func:`stratified_sample`, so reruns and
+    engines agree row-for-row.
+    """
+    base = docs.select(
+        "doc_id", F.col(stratum_col).alias("stratum"),
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+    )
+    rates = _budget_rates(base, budgets)
+    dev = sample_deviate(F.col("doc_id"), seed)
+    return (
+        base.join(F.broadcast(rates.select("stratum", "thr")), "stratum")
+        .where(dev < F.col("thr"))
+        .select("doc_id", "stratum", "n_tok")
+    )
+
+
+def token_budget_stats(docs: DataFrame, budgets: dict[str, int],
+                       stratum_col: str = "lang",
+                       seed: int = 42) -> DataFrame:
+    """(stratum, total_tok, budget_tok, rate, kept_docs, kept_tok) —
+    audit table for a :func:`token_budget_sample` configuration: how
+    close the expectation-exact sample landed to the requested token
+    budget (same deviate, same thresholds)."""
+    base = docs.select(
+        "doc_id", F.col(stratum_col).alias("stratum"),
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+    )
+    rates = _budget_rates(base, budgets)
+    dev = sample_deviate(F.col("doc_id"), seed)
+    kept = (
+        base.join(F.broadcast(rates.select("stratum", "thr")), "stratum")
+        .where(dev < F.col("thr"))
+        .groupBy("stratum")
+        .agg(F.count(F.lit(1)).alias("kept_docs"),
+             F.sum("n_tok").alias("kept_tok"))
+    )
+    return (
+        rates.join(kept, "stratum", "left")
+        .select(
+            "stratum", "total_tok", "budget_tok",
+            F.round("rate", 6).alias("rate"),
+            F.coalesce("kept_docs", F.lit(0)).cast("bigint")
+            .alias("kept_docs"),
+            F.coalesce("kept_tok", F.lit(0)).cast("bigint")
+            .alias("kept_tok"))
+    )
+
+
 def sample_stats(docs: DataFrame, rates: dict[str, float],
                  stratum_col: str = "lang", seed: int = 42,
                  default_rate: float = 0.0) -> DataFrame:

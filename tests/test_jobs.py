@@ -55,6 +55,19 @@ def test_graph_job_round5_algos(spark, tmp_path):
     assert "linkpred" in a
 
 
+def test_graph_job_round5b_algos(spark, tmp_path):
+    path, _ = _stage_edges(spark, tmp_path)
+    got = _run("graph_job.py", "--edges", path, "--master", "local[4]",
+               "--algos", "eigen,closeness,bipartite",
+               "--source", "0", "--max-iter", "4")
+    a = got["algos"]
+    assert a["eigen"]["iterations"] == 4
+    assert a["eigen"]["top_eigen"] > 0.0
+    assert a["closeness"]["scored"] >= 1
+    assert a["bipartite"]["components"] >= 1
+    assert a["bipartite"]["odd_edges"] >= 0
+
+
 def test_graph_job_rejects_unknown_algo(spark, tmp_path):
     path, _ = _stage_edges(spark, tmp_path)
     proc = subprocess.run(

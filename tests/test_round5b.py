@@ -1,0 +1,235 @@
+"""Eigenvector centrality / landmark closeness / bipartite check /
+token-budget mixture vs exact fixtures and brute-force Python oracles
+(SURVEY.md §5 strategy: constructed graphs with known answers +
+replicated deterministic hashes)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import edges_df
+from oracles import F2_EDGES
+from pagerank_spark import graph
+from pagerank_spark.checkpoint import CheckpointManager
+from pagerank_spark.operators.centrality import closeness_centrality
+from pagerank_spark.operators.eigencentrality import eigenvector_centrality
+from pagerank_spark.operators.structure import bipartite_check
+from pagerank_spark.pipeline.curation import (
+    _HASH_SPACE,
+    token_budget_sample,
+    token_budget_stats,
+)
+
+
+# ------------------------------------------------------- eigenvector
+
+def _eigen_numpy(edges, n, iters):
+    a = np.zeros((n, n))
+    for s, d in set(edges):          # prepare() dedupes parallel edges
+        a[s, d] = 1.0
+    x = np.ones(n)
+    for _ in range(iters):
+        x = a.T @ x
+        nz = np.linalg.norm(x)
+        if nz == 0.0:
+            return np.zeros(n)
+        x = x / nz
+    return x
+
+
+def _eranks(df):
+    return {r["id"]: r["eigen"] for r in df.collect()}
+
+
+def test_eigen_matches_numpy_oracle(spark):
+    g = graph.prepare(edges_df(spark, F2_EDGES))
+    res = eigenvector_centrality(g, max_iter=7, tol=0.0)
+    want = _eigen_numpy(F2_EDGES, g.n, 7)
+    got = _eranks(res.ranks)
+    assert res.iterations == 7
+    assert set(got) == set(range(g.n))
+    for v in range(g.n):
+        assert got[v] == pytest.approx(want[v], rel=1e-12, abs=1e-15)
+
+
+def test_eigen_converges_unit_norm(spark):
+    g = graph.prepare(edges_df(spark, F2_EDGES))
+    res = eigenvector_centrality(g, tol=1e-12, max_iter=500)
+    assert res.final_l1 < 1e-12
+    x = np.array([_eranks(res.ranks)[v] for v in range(g.n)])
+    assert np.linalg.norm(x) == pytest.approx(1.0, rel=1e-12)
+    # fixpoint property: A^T x is proportional to x (Rayleigh check)
+    a = np.zeros((g.n, g.n))
+    for s, d in set(F2_EDGES):
+        a[s, d] = 1.0
+    y = a.T @ x
+    lam = float(x @ y)
+    np.testing.assert_allclose(y, lam * x, atol=1e-9)
+
+
+def test_eigen_checkpoint_resume_bit_identical(spark, tmp_path):
+    g = graph.prepare(edges_df(spark, F2_EDGES))
+    full_ck = CheckpointManager(spark, str(tmp_path / "efull"), interval=1)
+    full = eigenvector_centrality(g, tol=0.0, max_iter=14,
+                                  checkpoint=full_ck)
+    part_ck = CheckpointManager(spark, str(tmp_path / "epart"), interval=1)
+    eigenvector_centrality(g, tol=0.0, max_iter=6, checkpoint=part_ck)
+    assert part_ck.latest_iteration() == 6
+    resumed = eigenvector_centrality(g, tol=0.0, max_iter=14,
+                                     checkpoint=part_ck, resume=True)
+    assert resumed.iterations == full.iterations == 14
+    assert _eranks(full.ranks) == _eranks(resumed.ranks)
+
+
+def test_eigen_empty_graph(spark):
+    e = spark.createDataFrame([], "src BIGINT, dst BIGINT")
+    res = eigenvector_centrality(graph.prepare(e), max_iter=3)
+    assert res.iterations == 0
+    assert res.ranks.count() == 0
+
+
+def test_eigen_sink_chain_hits_zero_fixpoint(spark):
+    # 1 -> 0: after the first normalize x = (1, 0); the second gather
+    # sums only zeros, so the all-zero vector is the fixpoint and the
+    # loop must stop on the zero-norm branch, not divide by zero.
+    g = graph.prepare(edges_df(spark, [(1, 0)]))
+    res = eigenvector_centrality(g, max_iter=10, tol=0.0)
+    got = _eranks(res.ranks)
+    assert res.iterations == 2
+    assert got == {0: 0.0, 1: 0.0}
+
+
+# --------------------------------------------------------- closeness
+
+def test_closeness_path_fixture(spark):
+    # path 0-1-2-3, landmark 0: d = 1, 2, 3.
+    e = edges_df(spark, [(0, 1), (1, 2), (2, 3)])
+    rows = {r["id"]: r for r in closeness_centrality(e, [0]).collect()}
+    assert set(rows) == {1, 2, 3}          # the landmark itself absent
+    assert rows[1]["closeness_q6"] == 1_000_000
+    assert rows[2]["closeness_q6"] == 500_000
+    assert rows[3]["closeness_q6"] == 333_333
+    assert rows[3]["sum_dist"] == 3 and rows[3]["n_reached"] == 1
+    assert rows[3]["closeness"] == pytest.approx(0.333333)
+
+
+def test_closeness_two_landmarks_mean_inverse(spark):
+    # path 0-1-2-3, landmarks {0, 3}: vertex 1 sums d=1 and d=2.
+    e = edges_df(spark, [(0, 1), (1, 2), (2, 3)])
+    rows = {r["id"]: r for r in closeness_centrality(e, [0, 3]).collect()}
+    assert rows[1]["n_reached"] == 2 and rows[1]["sum_dist"] == 3
+    assert rows[1]["closeness_q6"] == 666_666
+    # endpoints see only the OTHER landmark (their own is at d=0)
+    assert rows[0]["n_reached"] == 1 and rows[0]["sum_dist"] == 3
+
+
+# --------------------------------------------------------- bipartite
+
+def test_bipartite_even_cycle_triangle_and_self_loop(spark):
+    # even cycle {0..3} bipartite; triangle {10,11,12} has exactly one
+    # parity-conflict edge (11-12 from root 10); {20} self-loop only.
+    e = edges_df(spark, [(0, 1), (1, 2), (2, 3), (3, 0),
+                         (10, 11), (11, 12), (12, 10),
+                         (20, 20)])
+    rows = {r["component"]: r for r in bipartite_check(e).collect()}
+    assert set(rows) == {0, 10, 20}
+    assert rows[0]["n_vertices"] == 4 and rows[0]["is_bipartite"]
+    assert rows[0]["odd_edges"] == 0
+    assert rows[10]["n_vertices"] == 3 and not rows[10]["is_bipartite"]
+    assert rows[10]["odd_edges"] == 1
+    assert rows[20]["n_vertices"] == 1 and rows[20]["is_bipartite"]
+
+
+def test_bipartite_star_and_odd_cycle_5(spark):
+    e = edges_df(spark, [(0, 1), (0, 2), (0, 3),
+                         (5, 6), (6, 7), (7, 8), (8, 9), (9, 5)])
+    rows = {r["component"]: r for r in bipartite_check(e).collect()}
+    assert rows[0]["is_bipartite"] and rows[0]["odd_edges"] == 0
+    assert not rows[5]["is_bipartite"]
+    # 5-cycle parity from root 5: depths 0,1,2,2,1 — edge 7-8 conflicts
+    # (2,2) and edge 9-5 conflicts... (1,0) no; exactly the even-depth
+    # pair(s): count computed, must be >= 1 witness
+    assert rows[5]["odd_edges"] == 1
+
+
+# ---------------------------------------------------- token budget
+
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _ntok(text):
+    return len(_WS.split(text.strip().lower()))
+
+
+def _dev(doc_id, seed):
+    h = hashlib.md5(f"sample:{seed}:{doc_id}".encode()).hexdigest()
+    return int(h[:15], 16)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING,"
+                                       " lang STRING")
+
+
+def test_token_budget_matches_python_oracle(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(3 + i % 5)),
+             ["en", "de"][i % 2]) for i in range(40)]
+    budgets = {"en": 40, "de": 25}
+    got = {(r["doc_id"], r["stratum"], r["n_tok"])
+           for r in token_budget_sample(
+               _docs(spark, rows), budgets, seed=11).collect()}
+    totals: dict[str, int] = {}
+    for i, text, lang in rows:
+        totals[lang] = totals.get(lang, 0) + _ntok(text)
+    want = set()
+    for i, text, lang in rows:
+        rate = min(1.0, budgets[lang] / totals[lang])
+        thr = int(np.floor(rate * float(_HASH_SPACE)))
+        if _dev(i, 11) < thr:
+            want.add((i, lang, _ntok(text)))
+    assert got == want
+    assert got                          # the fixture keeps something
+
+
+def test_token_budget_rate_caps_at_one(spark):
+    rows = [(i, "a b c", "en") for i in range(10)]
+    kept = token_budget_sample(_docs(spark, rows), {"en": 10**9}).collect()
+    assert len(kept) == 10              # rate 1.0 keeps every row
+
+
+def test_token_budget_drops_unbudgeted_stratum(spark):
+    rows = [(1, "a b", "en"), (2, "a b", "fr")]
+    kept = token_budget_sample(_docs(spark, rows), {"en": 10**9}).collect()
+    assert {r["stratum"] for r in kept} == {"en"}
+
+
+def test_token_budget_rejects_negative(spark):
+    with pytest.raises(ValueError):
+        token_budget_sample(_docs(spark, [(1, "a", "en")]),
+                            {"en": -1}).collect()
+
+
+def test_token_budget_stats_consistent_with_sample(spark):
+    rows = [(i, " ".join("x" for _ in range(1 + i % 7)),
+             ["en", "de", "zh"][i % 3]) for i in range(60)]
+    budgets = {"en": 30, "de": 10**9, "zh": 0}
+    docs = _docs(spark, rows)
+    kept = token_budget_sample(docs, budgets, seed=3).collect()
+    stats = {r["stratum"]: r
+             for r in token_budget_stats(docs, budgets, seed=3).collect()}
+    by_stratum: dict[str, list] = {}
+    for r in kept:
+        by_stratum.setdefault(r["stratum"], []).append(r["n_tok"])
+    for stratum, s in stats.items():
+        toks = by_stratum.get(stratum, [])
+        assert s["kept_docs"] == len(toks)
+        assert s["kept_tok"] == sum(toks)
+    assert stats["de"]["rate"] == 1.0
+    assert stats["zh"]["kept_docs"] == 0 and stats["zh"]["rate"] == 0.0
+    # expectation sanity: en kept mass is in the budget's ballpark
+    assert 0 < stats["en"]["kept_tok"] <= stats["en"]["total_tok"]
