@@ -84,6 +84,12 @@ LINKPRED_TOPK = 100
 HARMONIC_LANDMARKS = (1, 2, 3, 5)  # landmark set, both engines
 HARMONIC_MAX_DEPTH = 30            # hop cap, both engines
 EIGEN_K = 5  # eigenvector_k5 power-iteration count, both engines
+MIS_SEED = 42  # deterministic-Luby MIS priority seed, both engines
+# Unrolled Luby rounds in the mis oracle; the engine runs to the true
+# fixpoint (empty active set — 2 rounds on the sf graphs, probed) and
+# rounds past the fixpoint are no-ops on an empty active set, so any
+# unroll count >= the actual round count yields the identical set.
+MIS_ORACLE_ROUNDS = 6
 WALK_STEPS = 4  # random_walks hop count, both engines
 # token-budget mixture (curation.token_budget_sample), both engines:
 # zh's budget deliberately exceeds its corpus at every SF (rate caps
@@ -560,6 +566,15 @@ def q_bipartite_components(spark, sf_dir):
     from pagerank_spark.operators.structure import bipartite_check
 
     return bipartite_check(_edges(spark, sf_dir), max_depth=BFS_MAX_DEPTH)
+
+
+def q_mis(spark, sf_dir):
+    """Deterministic-Luby maximal independent set: per-round 60-bit
+    md5 priorities, winner iff it beats every active neighbor; the
+    oracle replays the identical unrolled rounds."""
+    from pagerank_spark.operators.mis import maximal_independent_set
+
+    return maximal_independent_set(_edges(spark, sf_dir), seed=MIS_SEED)
 
 
 def q_random_walks(spark, sf_dir):
@@ -1084,7 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": q_harmonic_centrality,
         "random_walks": q_random_walks,
         "ktruss": q_ktruss,
-        "diameter_2sweep": q_diameter_2sweep,
+        "mis": q_mis,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_language": q_doc_language,
@@ -1115,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   ann_topk/ann_ivf_topk
         "doc_chunks": q_doc_chunks,  # pure-projection windowing face
         "scc_condensation": q_scc_condensation,  # derived from scc
+        "diameter_2sweep": q_diameter_2sweep,  # two bfs_depths runs
         "closeness_centrality": q_closeness_centrality,  # harmonic face
         "mixture_stats": q_mixture_stats,  # docs_mixture audit face
         "in_adjacency": q_in_adjacency,  # unsalted parity face
@@ -1400,6 +1416,48 @@ def _katz_unrolled_sql(k: int, alpha: float) -> str:
                      1.0 + {alpha!r}::DOUBLE * coalesce(g.c, 0) AS katz
                      FROM verts v LEFT JOIN g{i} g ON v.id = g.id)""")
     parts.append(f"\nSELECT id, round(katz, {ROUND}) AS katz FROM x{k}")
+    return "".join(parts)
+
+
+def _mis_unrolled_sql(rounds: int, seed: int) -> str:
+    """Generate the unrolled DuckDB deterministic-Luby MIS chain
+    mirroring ``operators/mis.py``: per round, md5 priorities over the
+    active set, winner iff priority < min over active neighbors
+    (isolated actives always win), then winners + their neighborhoods
+    leave the active set."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGE_SQL}),",
+        "sym AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst"
+        " UNION SELECT dst, src FROM edges WHERE src <> dst),",
+        "a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges"
+        " UNION SELECT DISTINCT dst FROM edges)",
+    ]
+    inf = 1 << 62
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+            p{r} AS MATERIALIZED (SELECT id,
+                 ('0x' || substr(md5('mis:{seed}:{r}:' || id::VARCHAR),
+                                 1, 15))::BIGINT AS p
+                 FROM a{r - 1}),
+            e{r} AS (SELECT s.src, s.dst FROM sym s
+                     JOIN a{r - 1} x ON s.src = x.id
+                     JOIN a{r - 1} y ON s.dst = y.id),
+            nm{r} AS (SELECT e.src AS id, min(p.p) AS mp
+                      FROM e{r} e JOIN p{r} p ON e.dst = p.id
+                      GROUP BY e.src),
+            w{r} AS MATERIALIZED (
+                SELECT p.id FROM p{r} p LEFT JOIN nm{r} n ON p.id = n.id
+                WHERE p.p < coalesce(n.mp, {inf})),
+            rm{r} AS (SELECT id FROM w{r}
+                      UNION
+                      SELECT e.dst FROM e{r} e JOIN w{r} w ON e.src = w.id),
+            a{r} AS MATERIALIZED (
+                SELECT a.id FROM a{r - 1} a LEFT JOIN rm{r} x ON a.id = x.id
+                WHERE x.id IS NULL)""")
+    sel = " UNION ALL ".join(
+        f"SELECT id, {r}::BIGINT AS mis_round FROM w{r}"
+        for r in range(1, rounds + 1))
+    parts.append("\n" + sel)
     return "".join(parts)
 
 
@@ -1933,6 +1991,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_k5": _hits_unrolled_sql(HITS_K),
         "katz_k5": _katz_unrolled_sql(KATZ_K, KATZ_ALPHA),
         "eigenvector_k5": _eigen_unrolled_sql(EIGEN_K),
+        "mis": _mis_unrolled_sql(MIS_ORACLE_ROUNDS, MIS_SEED),
         # SCC oracle: mutual reachability over the recursive transitive
         # closure (feasible at sf scale: only ~100 supplier ids have
         # out-edges, so closure size is O(|sources| x |V|)).

@@ -128,6 +128,8 @@ def main() -> None:
     timed("bipartite",
           lambda: bipartite_check(g.edges).agg(
               F.sum("odd_edges"), F.sum("n_vertices")).collect())
+    from pagerank_spark.operators.mis import maximal_independent_set
+    timed("mis", lambda: maximal_independent_set(g.edges).count())
 
     # -- extraction stage (pandas-UDF path) -------------------------------
     files, _ = datagen.repo_files_corpus(

@@ -34,7 +34,7 @@ def main() -> None:
                    help="comma list: cc,lpa,triangles,bfs,sssp,hits,"
                         "katz,kcore,ppr,scc,wpr,lcc,degdist,linkpred,"
                         "harmonic,walks,condense,ktruss,diameter,"
-                        "eigen,closeness,bipartite")
+                        "eigen,closeness,bipartite,mis")
     p.add_argument("--master", default=None)
     p.add_argument("--source", type=int, default=0,
                    help="bfs/sssp/ppr source vertex")
@@ -91,7 +91,7 @@ def main() -> None:
     unknown = algos - {"cc", "lpa", "triangles", "bfs", "sssp", "hits",
                        "katz", "kcore", "ppr", "scc", "wpr", "lcc", "degdist",
                        "linkpred", "harmonic", "walks", "condense", "ktruss",
-                       "diameter", "eigen", "closeness", "bipartite"}
+                       "diameter", "eigen", "closeness", "bipartite", "mis"}
     if unknown:
         raise SystemExit(f"unknown algos: {sorted(unknown)}")
 
@@ -231,6 +231,15 @@ def main() -> None:
             return {"components": row["comps"],
                     "bipartite": row["bip"], "odd_edges": row["odd"]}
         run("bipartite", _bip)
+    if "mis" in algos:
+        from pagerank_spark.operators.mis import maximal_independent_set
+
+        def _mis():
+            m = maximal_independent_set(g.edges)
+            row = m.agg(F.count(F.lit(1)).alias("n"),
+                        F.max("mis_round").alias("r")).first()
+            return {"size": row["n"], "rounds": row["r"]}
+        run("mis", _mis)
     if "diameter" in algos:
         def _diam():
             d1 = bfs_depths(g.edges, [args.source])

@@ -6,6 +6,7 @@ replicated deterministic hashes)."""
 from __future__ import annotations
 
 import hashlib
+import random
 import re
 
 import numpy as np
@@ -18,7 +19,18 @@ from pagerank_spark import graph
 from pagerank_spark.checkpoint import CheckpointManager
 from pagerank_spark.operators.centrality import closeness_centrality
 from pagerank_spark.operators.eigencentrality import eigenvector_centrality
+from pagerank_spark.operators.mis import maximal_independent_set
 from pagerank_spark.operators.structure import bipartite_check
+
+
+def _und_nbrs(edges):
+    nbrs: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        nbrs.setdefault(s, set()).add(d)
+        nbrs.setdefault(d, set()).add(s)
+    return nbrs
 from pagerank_spark.pipeline.curation import (
     _HASH_SPACE,
     token_budget_sample,
@@ -155,6 +167,76 @@ def test_bipartite_star_and_odd_cycle_5(spark):
     # (2,2) and edge 9-5 conflicts... (1,0) no; exactly the even-depth
     # pair(s): count computed, must be >= 1 witness
     assert rows[5]["odd_edges"] == 1
+
+
+# --------------------------------------------------------------- MIS
+
+def _mis_pri(v, seed, rnd):
+    h = hashlib.md5(f"mis:{seed}:{rnd}:{v}".encode()).hexdigest()
+    return int(h[:15], 16)
+
+
+def _mis_python(edges, seed, max_rounds=200):
+    nbrs: dict[int, set[int]] = {}
+    verts = set()
+    for s, d in edges:
+        verts.add(s)
+        verts.add(d)
+        if s != d:
+            nbrs.setdefault(s, set()).add(d)
+            nbrs.setdefault(d, set()).add(s)
+    active = set(verts)
+    out = {}
+    rnd = 0
+    while active:
+        rnd += 1
+        assert rnd <= max_rounds
+        pri = {v: _mis_pri(v, seed, rnd) for v in active}
+        win = {v for v in active
+               if all(pri[v] < pri[u]
+                      for u in nbrs.get(v, ()) if u in active)}
+        for v in win:
+            out[v] = rnd
+        removed = set(win)
+        for v in win:
+            removed |= nbrs.get(v, set()) & active
+        active -= removed
+    return out
+
+
+def test_mis_matches_python_luby_replay(spark):
+    rnd = random.Random(99)
+    edges = list({(rnd.randrange(30), rnd.randrange(30))
+                  for _ in range(70)})
+    got = {r["id"]: r["mis_round"]
+           for r in maximal_independent_set(
+               edges_df(spark, edges), seed=7).collect()}
+    assert got == _mis_python(edges, 7)
+
+
+def test_mis_independent_and_maximal(spark):
+    rnd = random.Random(5)
+    edges = list({(rnd.randrange(60), rnd.randrange(60))
+                  for _ in range(200)})
+    mis = {r["id"] for r in maximal_independent_set(
+        edges_df(spark, edges), seed=1).collect()}
+    nbrs = _und_nbrs(edges)
+    verts = {v for e in edges for v in e}
+    assert all(not (nbrs.get(v, set()) & mis) for v in mis)
+    assert all(v in mis or (nbrs.get(v, set()) & mis) for v in verts)
+
+
+def test_mis_self_loop_only_vertex_round1(spark):
+    got = {r["id"]: r["mis_round"]
+           for r in maximal_independent_set(
+               edges_df(spark, [(0, 1), (5, 5)]), seed=3).collect()}
+    assert got[5] == 1                  # isolated in the simple graph
+    assert 0 in got or 1 in got
+
+
+def test_mis_empty_graph(spark):
+    e = spark.createDataFrame([], "src BIGINT, dst BIGINT")
+    assert maximal_independent_set(e).count() == 0
 
 
 # ---------------------------------------------------- token budget
