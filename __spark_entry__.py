@@ -598,6 +598,17 @@ def q_scc_condensation(spark, sf_dir):
     return scc_condensation(e, n=G.num_vertices(e))
 
 
+def q_condensation_levels(spark, sf_dir):
+    """Topological longest-path layer per SCC of the condensation DAG
+    (the build-order depth of a dependency graph); oracle = max walk
+    depth in a recursive CTE over the distinct cross-SCC edge set."""
+    from pagerank_spark import graph as G
+    from pagerank_spark.operators.scc import condensation_levels
+
+    e = _edges(spark, sf_dir)
+    return condensation_levels(e, n=G.num_vertices(e))
+
+
 def q_ktruss(spark, sf_dir):
     """TRUSS_K-truss membership via iterated triangle-support peel;
     the oracle unrolls TRUSS_ORACLE_ROUNDS peel rounds (monotone, so
@@ -1130,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   ann_topk/ann_ivf_topk
         "doc_chunks": q_doc_chunks,  # pure-projection windowing face
         "scc_condensation": q_scc_condensation,  # derived from scc
+        "condensation_levels": q_condensation_levels,  # DAG layering over scc
         "diameter_2sweep": q_diameter_2sweep,  # two bfs_depths runs
         "closeness_centrality": q_closeness_centrality,  # harmonic face
         "mixture_stats": q_mixture_stats,  # docs_mixture audit face
@@ -2395,6 +2407,43 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(k.kept_docs, 0)::BIGINT AS kept_docs,
                    coalesce(k.kept_tok, 0)::BIGINT AS kept_tok
             FROM mrate t LEFT JOIN mkept k ON t.stratum = k.stratum
+        """,
+        "condensation_levels": f"""
+            WITH RECURSIVE edges AS MATERIALIZED ({_EDGE_SQL}),
+            n AS (SELECT max(greatest(src, dst)) + 1 AS n FROM edges),
+            verts AS (SELECT unnest(generate_series(0,
+                (SELECT n - 1 FROM n)))::BIGINT AS id),
+            reach(a, b) AS (
+                SELECT src, dst FROM edges WHERE src <> dst
+                UNION
+                SELECT r.a, e.dst FROM reach r
+                JOIN edges e ON r.b = e.src WHERE e.src <> e.dst
+            ),
+            mutual AS (
+                SELECT r1.a, r1.b FROM reach r1
+                JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+            ),
+            lbl AS MATERIALIZED (
+                SELECT v.id, least(v.id, coalesce(min(m.b), v.id)) AS scc
+                FROM verts v LEFT JOIN mutual m ON m.a = v.id
+                GROUP BY v.id
+            ),
+            ce AS MATERIALIZED (
+                SELECT DISTINCT a.scc AS s, b.scc AS d
+                FROM edges e JOIN lbl a ON e.src = a.id
+                             JOIN lbl b ON e.dst = b.id
+                WHERE e.src <> e.dst AND a.scc <> b.scc
+            ),
+            walk(id, dpt) AS (
+                SELECT DISTINCT scc, 0 FROM lbl
+                UNION
+                SELECT ce.d, w.dpt + 1 FROM walk w JOIN ce ON ce.s = w.id
+            ),
+            lev AS (SELECT id AS scc, max(dpt)::BIGINT AS level
+                    FROM walk GROUP BY id)
+            SELECT l.scc, lev.level, count(*)::BIGINT AS n_members
+            FROM lbl l JOIN lev ON l.scc = lev.scc
+            GROUP BY l.scc, lev.level
         """,
         "pii_stats": f"""
             WITH {_PII_AUG_SQL}

@@ -130,6 +130,10 @@ def main() -> None:
               F.sum("odd_edges"), F.sum("n_vertices")).collect())
     from pagerank_spark.operators.mis import maximal_independent_set
     timed("mis", lambda: maximal_independent_set(g.edges).count())
+    from pagerank_spark.operators.scc import condensation_levels
+    timed("condensation_levels",
+          lambda: condensation_levels(g.edges, n=g.n).agg(
+              F.max("level"), F.sum("n_members")).collect())
 
     # -- extraction stage (pandas-UDF path) -------------------------------
     files, _ = datagen.repo_files_corpus(

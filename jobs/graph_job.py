@@ -34,7 +34,7 @@ def main() -> None:
                    help="comma list: cc,lpa,triangles,bfs,sssp,hits,"
                         "katz,kcore,ppr,scc,wpr,lcc,degdist,linkpred,"
                         "harmonic,walks,condense,ktruss,diameter,"
-                        "eigen,closeness,bipartite,mis")
+                        "eigen,closeness,bipartite,mis,levels")
     p.add_argument("--master", default=None)
     p.add_argument("--source", type=int, default=0,
                    help="bfs/sssp/ppr source vertex")
@@ -91,7 +91,8 @@ def main() -> None:
     unknown = algos - {"cc", "lpa", "triangles", "bfs", "sssp", "hits",
                        "katz", "kcore", "ppr", "scc", "wpr", "lcc", "degdist",
                        "linkpred", "harmonic", "walks", "condense", "ktruss",
-                       "diameter", "eigen", "closeness", "bipartite", "mis"}
+                       "diameter", "eigen", "closeness", "bipartite", "mis",
+                       "levels"}
     if unknown:
         raise SystemExit(f"unknown algos: {sorted(unknown)}")
 
@@ -240,6 +241,15 @@ def main() -> None:
                         F.max("mis_round").alias("r")).first()
             return {"size": row["n"], "rounds": row["r"]}
         run("mis", _mis)
+    if "levels" in algos:
+        from pagerank_spark.operators.scc import condensation_levels
+
+        def _levels():
+            lv = condensation_levels(g.edges, n=g.n)
+            row = lv.agg(F.count(F.lit(1)).alias("sccs"),
+                         F.max("level").alias("depth")).first()
+            return {"sccs": row["sccs"], "dag_depth": row["depth"]}
+        run("levels", _levels)
     if "diameter" in algos:
         def _diam():
             d1 = bfs_depths(g.edges, [args.source])

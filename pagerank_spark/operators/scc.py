@@ -133,6 +133,33 @@ def strongly_connected_components(
             .select("src", "dst")
         )
 
+    # Durable cadence for the SHRINKING EDGE SET, separate from the
+    # state cadence (its own iteration counter — write_state is keyed
+    # by iteration, so sharing `rnd` would collide with state writes).
+    # A persist caches DATA but the restrict plan grows two semi-joins
+    # per peel; a fringe-heavy directed graph trims hundreds of times
+    # and the accumulated plan OOMs driver-side analysis long before
+    # any executor does (observed on the facebook graph — the same
+    # defect the round-3 review found in k_core, fixed there first).
+    import os as _os
+
+    edge_ckpt = CheckpointManager(
+        spark, _os.path.join(checkpoint.root, "edges"),
+        interval=checkpoint.interval)
+    edge_epoch = 0
+
+    def shrink(survivors, srows):
+        nonlocal edge_epoch, active_e
+        edge_epoch += 1
+        nxt = restrict_edges(survivors, srows)
+        if edge_ckpt.should_checkpoint(edge_epoch):
+            nxt = edge_ckpt.write_state(nxt, edge_epoch).persist()
+        else:
+            nxt = nxt.persist()
+        nxt.count()
+        active_e.unpersist()
+        active_e = nxt
+
     while rnd < max_rounds and n_active > 0:
         # ---------------- TRIM ----------------
         while rnd < max_rounds:
@@ -154,10 +181,7 @@ def strongly_connected_components(
             active_v, n_active = keep, k
             if k == 0:
                 break
-            nxt = restrict_edges(keep, k).persist()
-            nxt.count()
-            active_e.unpersist()
-            active_e = nxt
+            shrink(keep, k)
         if n_active == 0:
             break
 
@@ -235,10 +259,7 @@ def strongly_connected_components(
         active_v = remaining
         if n_active == 0:
             break
-        nxt = restrict_edges(remaining, n_active).persist()
-        nxt.count()
-        active_e.unpersist()
-        active_e = nxt
+        shrink(remaining, n_active)
 
     active_e.unpersist()
     if n_active > 0:
@@ -290,6 +311,11 @@ def scc_condensation(edges: DataFrame, n: int | None = None,
 
         labels = strongly_connected_components(
             edges, n=G.num_vertices(edges) if n is None else n)
+        # |V|-row lineage cut: the SCC labeling is a union of
+        # per-phase frames (one branch per outer round); truncate
+        # before the joins below analyze it twice (and before a giant
+        # plan string OOMs the driver on fringe-heavy graphs).
+        labels = labels.localCheckpoint(eager=True)
     lbl_rows = labels.count()
     small = lbl_rows <= BROADCAST_MAX_STATE
 
@@ -306,3 +332,104 @@ def scc_condensation(edges: DataFrame, n: int | None = None,
         .groupBy("scc_src", "scc_dst")
         .agg(F.count(F.lit(1)).alias("n_edges"))
     )
+
+
+def condensation_levels(
+    edges: DataFrame,
+    n: int | None = None,
+    labels: DataFrame | None = None,
+    max_rounds: int = 10_000,
+    checkpoint: CheckpointManager | None = None,
+    checkpoint_interval: int = 8,
+) -> DataFrame:
+    """(scc, level, n_members): topological longest-path layer of
+    every SCC in the condensation DAG — level 0 for components with
+    no incoming cross-component edge, else 1 + max over predecessors.
+
+    This is the "build-order depth" query of a dependency graph: on
+    the repo import graph the level of a module's SCC is the length
+    of the longest chain of imports that must exist before it.  The
+    iteration runs entirely on the CONDENSATION (orders of magnitude
+    smaller than the input at web scale — Broder's bow-tie), so the
+    only |E|-sized work is the two label joins inside
+    :func:`scc_condensation`; each level round is a join +
+    map-side-combined max over the distinct cross-SCC edge set, and
+    rounds are bounded by the DAG depth.  Monotone convergence: the
+    level vector only ever grows, so the constant-size Σlevel
+    aggregate is the stop test (same checksum pattern as CC).
+
+    ``labels`` (id, scc) may be passed to reuse an existing SCC run.
+    Raises if ``max_rounds`` is exhausted (cannot happen on a true
+    condensation — it is acyclic by construction — but a caller
+    passing hand-built cyclic ``labels`` must not loop forever).
+    """
+    if labels is None:
+        from pagerank_spark import graph as G
+
+        labels = strongly_connected_components(
+            edges, n=G.num_vertices(edges) if n is None else n)
+    # |V|-row lineage cut BEFORE anything consumes the labeling: an
+    # SCC run returns a union of per-phase frames (one branch per
+    # outer round — hundreds on a fringe-heavy graph), and threading
+    # that plan into every level round OOMs plan analysis long before
+    # any data does (observed on the facebook graph).  This derives a
+    # NEW truncated frame; a caller-passed table is not disturbed.
+    labels = labels.localCheckpoint(eager=True)
+    cond = None
+    try:
+        members = labels.groupBy("scc").agg(
+            F.count(F.lit(1)).alias("n_members"))
+        cond = (
+            scc_condensation(edges, labels=labels)
+            .select(F.col("scc_src").alias("s"),
+                    F.col("scc_dst").alias("d"))
+            .persist()
+        )
+        cond.count()
+        if checkpoint is None:
+            import tempfile
+
+            checkpoint = CheckpointManager(
+                labels.sparkSession,
+                tempfile.mkdtemp(prefix="condlvl_ckpt_"),
+                interval=checkpoint_interval)
+        lvl = members.select("scc", F.lit(0).cast("bigint").alias("level"),
+                             "n_members").localCheckpoint(eager=True)
+        prev_sum = 0
+        rnd = 0
+        while True:
+            rnd += 1
+            if rnd > max_rounds:
+                raise RuntimeError(
+                    "condensation_levels: no fixpoint after "
+                    f"{max_rounds} rounds — the label table is not a "
+                    "DAG condensation")
+            from_pred = (
+                cond.join(lvl.select(F.col("scc").alias("s"),
+                                     F.col("level").alias("pl")), "s")
+                .groupBy(F.col("d").alias("scc"))
+                .agg((F.max("pl") + 1).alias("up"))
+            )
+            nxt = (
+                lvl.join(from_pred, "scc", "left")
+                .select("scc",
+                        F.greatest(F.col("level"),
+                                   F.coalesce(F.col("up"), F.lit(0)))
+                        .alias("level"),
+                        "n_members")
+            )
+            if checkpoint.should_checkpoint(rnd):
+                nxt = checkpoint.write_state(nxt, rnd).persist()
+            else:
+                nxt = nxt.localCheckpoint(eager=True)
+            s = nxt.agg(F.sum("level").alias("s")).first()["s"] or 0
+            if checkpoint.should_checkpoint(rnd):
+                checkpoint.write_metrics(rnd, {"sum_level": float(s)})
+            lvl = nxt
+            if s == prev_sum:
+                break
+            prev_sum = s
+        return lvl
+    finally:
+        if cond is not None:
+            cond.unpersist()

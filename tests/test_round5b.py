@@ -169,6 +169,44 @@ def test_bipartite_star_and_odd_cycle_5(spark):
     assert rows[5]["odd_edges"] == 1
 
 
+# ------------------------------------------------- condensation levels
+
+def test_condensation_levels_bridge_and_chain(spark):
+    from pagerank_spark.operators.scc import condensation_levels
+
+    # two 3-cycles bridged 2 -> 10, plus a singleton chain 20 -> 21
+    e = edges_df(spark, [(0, 1), (1, 2), (2, 0),
+                         (10, 11), (11, 12), (12, 10),
+                         (2, 10), (20, 21)])
+    rows = {r["scc"]: r for r in condensation_levels(e, n=22).collect()}
+    assert rows[0]["level"] == 0 and rows[0]["n_members"] == 3
+    assert rows[10]["level"] == 1 and rows[10]["n_members"] == 3
+    assert rows[20]["level"] == 0 and rows[21]["level"] == 1
+    # dense-domain singletons (3..9, 13..19) all sit at level 0
+    assert all(rows[v]["level"] == 0 for v in range(3, 10))
+
+
+def test_condensation_levels_diamond_longest_path(spark):
+    from pagerank_spark.operators.scc import condensation_levels
+
+    # diamond 0 -> {1,2} -> 3 plus the long arm 0 -> 4 -> 5 -> 3:
+    # level(3) must be the LONGEST path (3), not the shortest (2).
+    e = edges_df(spark, [(0, 1), (0, 2), (1, 3), (2, 3),
+                         (0, 4), (4, 5), (5, 3)])
+    rows = {r["scc"]: r["level"]
+            for r in condensation_levels(e, n=6).collect()}
+    assert rows == {0: 0, 1: 1, 2: 1, 4: 1, 5: 2, 3: 3}
+
+
+def test_condensation_levels_rejects_cyclic_labels(spark):
+    from pagerank_spark.operators.scc import condensation_levels
+
+    e = edges_df(spark, [(0, 1), (1, 0)])
+    bogus = spark.createDataFrame([(0, 0), (1, 1)], "id BIGINT, scc BIGINT")
+    with pytest.raises(RuntimeError, match="not a DAG"):
+        condensation_levels(e, labels=bogus, max_rounds=5)
+
+
 # --------------------------------------------------------------- MIS
 
 def _mis_pri(v, seed, rnd):
