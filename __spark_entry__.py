@@ -838,6 +838,17 @@ def q_jaccard_pairs(spark, sf_dir):
         threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF)
 
 
+def q_doc_dup_fraction(spark, sf_dir):
+    """Per-document cross-corpus duplication exposure: fraction of the
+    doc's distinct 3-shingles occurring in >=2 docs, integer-quantized
+    (exact int64 DIV in both engines).  O(total shingles), never
+    O(pairs) — the curation-signal complement of jaccard_pairs."""
+    from pagerank_spark.pipeline import dedup
+
+    return dedup.duplication_fraction(_docs(spark, sf_dir),
+                                      flag_threshold=0.5)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-duplicate clusters: the jaccard_pairs graph closed under
     connected components (large-star/small-star), singletons labeled
@@ -1122,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_flags": q_contamination_flags,
         "minhash_signatures": q_minhash_signatures,
         "jaccard_pairs": q_jaccard_pairs,
+        "doc_dup_fraction": q_doc_dup_fraction,
         "dedup_clusters": q_dedup_clusters,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
@@ -1132,10 +1144,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_file_shas": q_repo_file_shas,
         "repo_edges": q_repo_edges,
         "repo_pagerank_k3": q_repo_pagerank_k3,
-        "events_decayed": q_events_decayed,
         "events_sessions": q_events_sessions,
         # ---- secondary faces (pytest-checked; outside the driver's
         # ---- 50-query window by design — variants of checked ops)
+        "events_decayed": q_events_decayed,  # windowed-events variant;
+        #   capability driver-checked via events_sessions (+
+        #   events_hourly below)
         "ann_lsh_topk": q_ann_lsh_topk,  # LSH bucketing also covered by
         #   embedding_near_dups + simhash_near_pairs; ANN top-k by
         #   ann_topk/ann_ivf_topk
@@ -2537,6 +2551,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON doc_a = sa.doc_id
             JOIN sizes sb ON doc_b = sb.doc_id
             WHERE round(i / (sa.sz + sb.sz - i), 6) >= {JACCARD_THRESHOLD}
+        """,
+        "doc_dup_fraction": f"""
+            WITH {_SHINGLE_SQL},
+            dfreq AS (SELECT shingle, count(*) AS df
+                      FROM doc_sh GROUP BY shingle),
+            per AS (
+                SELECT d.doc_id, count(*) AS n_shingles,
+                       CAST(sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_dup_shingles
+                FROM doc_sh d JOIN dfreq f ON d.shingle = f.shingle
+                GROUP BY d.doc_id)
+            SELECT doc_id, n_shingles, n_dup_shingles,
+                   CAST((1000000 * n_dup_shingles) // n_shingles
+                        AS BIGINT) AS dup_frac_q6,
+                   (1000000 * n_dup_shingles) // n_shingles >= 500000
+                       AS flag_dup
+            FROM per
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_SHINGLE_SQL},

@@ -204,6 +204,56 @@ def test_ngram_jaccard_df_cap_bounds_candidates(spark):
     assert pairs == {(0, n): pytest.approx(0.6, abs=1e-6)}
 
 
+def test_duplication_fraction_python_oracle(spark):
+    texts = [
+        "a b c d e f g",     # shares abc..efg with doc 3 (identical)
+        "a b c d x y z",     # shares abc, bcd with docs 0/3 only
+        "p q r s t u v",     # fully unique shingles
+        "a b c d e f g",     # identical to 0
+    ]
+    d = _mk_docs(spark, texts)
+    got = {r["doc_id"]: r.asDict()
+           for r in dedup.duplication_fraction(d).collect()}
+
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    all_sh = [sh(t) for t in texts]
+    for i, s in enumerate(all_sh):
+        dup = sum(1 for g in s
+                  if any(j != i and g in o for j, o in enumerate(all_sh))
+                  or sum(g in o for o in all_sh) > 1)
+        # df counts occurrences across docs (each doc contributes its
+        # distinct shingles once), so df>1 == "appears in >=2 docs".
+        row = got[i]
+        assert row["n_shingles"] == len(s)
+        assert row["n_dup_shingles"] == dup
+        assert row["dup_frac_q6"] == (1_000_000 * dup) // len(s)
+        assert row["flag_dup"] == (row["dup_frac_q6"] >= 500_000)
+    # Concrete expectations: docs 0/3 fully duplicated, doc 2 clean.
+    assert got[0]["dup_frac_q6"] == 1_000_000 and got[0]["flag_dup"]
+    assert got[2]["n_dup_shingles"] == 0 and not got[2]["flag_dup"]
+    assert got[1]["n_dup_shingles"] == 2  # "a b c", "b c d"
+    assert got[1]["dup_frac_q6"] == 400_000 and not got[1]["flag_dup"]
+
+
+def test_duplication_fraction_threshold_boundary(spark):
+    # Exactly at the flag threshold: 2 of 4 shingles duplicated →
+    # dup_frac_q6 == 500000 == floor(1e6 * 0.5) must flag (>=).
+    texts = ["a b c d e f", "a b c d x y"]
+    d = _mk_docs(spark, texts)
+    got = {r["doc_id"]: r.asDict()
+           for r in dedup.duplication_fraction(d).collect()}
+    for i in (0, 1):
+        assert got[i]["n_shingles"] == 4
+        assert got[i]["n_dup_shingles"] == 2  # "a b c", "b c d"
+        assert got[i]["dup_frac_q6"] == 500_000
+        assert got[i]["flag_dup"] is True
+    none_flagged = dedup.duplication_fraction(d, flag_threshold=0.51)
+    assert all(not r["flag_dup"] for r in none_flagged.collect())
+
+
 def test_simhash_properties(spark):
     base = "one two three four five six seven eight nine ten " * 3
     near = base.replace("five", "fivex", 1)
