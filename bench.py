@@ -193,6 +193,9 @@ def main() -> None:
     timed("jaccard_pairs",
           lambda: dedup.ngram_jaccard_pairs(
               docs, threshold=0.8, max_df=100).count())
+    timed("doc_dup_fraction",
+          lambda: dedup.duplication_fraction(docs).agg(
+              F.sum("dup_frac_q6")).collect())
     timed("dedup_clusters",
           lambda: dedup.near_dup_clusters(
               docs, threshold=0.8, max_df=100).count())
