@@ -134,6 +134,10 @@ def main() -> None:
     timed("condensation_levels",
           lambda: condensation_levels(g.edges, n=g.n).agg(
               F.max("level"), F.sum("n_members")).collect())
+    from pagerank_spark.operators.betweenness import betweenness
+    timed("betweenness_p4",
+          lambda: betweenness(g.edges, [1, 2, 3, 5]).agg(
+              F.sum("bet_q9")).collect())
 
     # -- extraction stage (pandas-UDF path) -------------------------------
     files, _ = datagen.repo_files_corpus(

@@ -34,7 +34,8 @@ def main() -> None:
                    help="comma list: cc,lpa,triangles,bfs,sssp,hits,"
                         "katz,kcore,ppr,scc,wpr,lcc,degdist,linkpred,"
                         "harmonic,walks,condense,ktruss,diameter,"
-                        "eigen,closeness,bipartite,mis,levels")
+                        "eigen,closeness,bipartite,mis,levels,"
+                        "betweenness")
     p.add_argument("--master", default=None)
     p.add_argument("--source", type=int, default=0,
                    help="bfs/sssp/ppr source vertex")
@@ -92,7 +93,7 @@ def main() -> None:
                        "katz", "kcore", "ppr", "scc", "wpr", "lcc", "degdist",
                        "linkpred", "harmonic", "walks", "condense", "ktruss",
                        "diameter", "eigen", "closeness", "bipartite", "mis",
-                       "levels"}
+                       "levels", "betweenness"}
     if unknown:
         raise SystemExit(f"unknown algos: {sorted(unknown)}")
 
@@ -186,6 +187,15 @@ def main() -> None:
                         F.sum("harmonic_q6").alias("s")).first()
             return {"scored": row["n"], "sum_q6": row["s"]}
         run("harmonic", _harm)
+    if "betweenness" in algos:
+        from pagerank_spark.operators.betweenness import betweenness
+
+        def _bet():
+            b = betweenness(g.edges, [args.source])
+            row = b.agg(F.count(F.lit(1)).alias("n"),
+                        F.sum("bet_q9").alias("s")).first()
+            return {"scored": row["n"], "sum_q9": row["s"]}
+        run("betweenness", _bet)
     if "walks" in algos:
         from pagerank_spark.operators.walks import random_walks
 

@@ -4,6 +4,7 @@ from pagerank_spark.operators.components import connected_components
 from pagerank_spark.operators.labelprop import label_propagation
 from pagerank_spark.operators.triangles import triangle_count, triangles_per_vertex
 from pagerank_spark.operators.bfs import bfs_depths
+from pagerank_spark.operators.betweenness import betweenness
 from pagerank_spark.operators.hits import hits
 from pagerank_spark.operators.katz import katz_centrality, KatzResult
 from pagerank_spark.operators.scc import strongly_connected_components
@@ -24,6 +25,7 @@ __all__ = [
     "triangle_count",
     "triangles_per_vertex",
     "bfs_depths",
+    "betweenness",
     "hits",
     "katz_centrality",
     "KatzResult",

@@ -58,12 +58,14 @@ def test_graph_job_round5_algos(spark, tmp_path):
 def test_graph_job_round5b_algos(spark, tmp_path):
     path, _ = _stage_edges(spark, tmp_path)
     got = _run("graph_job.py", "--edges", path, "--master", "local[4]",
-               "--algos", "eigen,closeness,bipartite,mis",
+               "--algos", "eigen,closeness,bipartite,mis,betweenness",
                "--source", "0", "--max-iter", "4")
     a = got["algos"]
     assert a["eigen"]["iterations"] == 4
     assert a["eigen"]["top_eigen"] > 0.0
     assert a["closeness"]["scored"] >= 1
+    assert a["betweenness"]["scored"] >= 1
+    assert a["betweenness"]["sum_q9"] >= 0
     assert a["bipartite"]["components"] >= 1
     assert a["bipartite"]["odd_edges"] >= 0
     assert a["mis"]["size"] >= 1 and a["mis"]["rounds"] >= 1
