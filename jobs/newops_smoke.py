@@ -30,10 +30,17 @@ def main() -> None:
 
     from pagerank_spark.session import get_spark
     from pagerank_spark import datagen
+    from pagerank_spark.operators.betweenness import betweenness
     from pagerank_spark.operators.centrality import harmonic_centrality
     from pagerank_spark.operators.linkpred import link_prediction
     from pagerank_spark.operators.scc import scc_condensation
     from pagerank_spark.operators.walks import random_walks
+
+    # NEWOPS_ONLY=op1,op2 runs a subset; NEWOPS_DENSE_PATH reuses an
+    # existing synthesis (e.g. the bench_scaling workdir) instead of
+    # regenerating the 700M-edge table.
+    only = {o.strip() for o in os.environ.get("NEWOPS_ONLY", "").split(",")
+            if o.strip()}
 
     spark = get_spark(
         app_name="newops_smoke", master="local[32]",
@@ -42,52 +49,68 @@ def main() -> None:
                     "spark.ui.showConsoleProgress": "false"})
 
     def timed(name, fn):
+        if only and name not in only:
+            return
         t0 = time.monotonic()
         out = fn()
         print(json.dumps({"op": name,
                           "wall_s": round(time.monotonic() - t0, 1),
                           "result": out}), flush=True)
 
-    dense_path = "/tmp/newops_dense.parquet"
-    if not os.path.exists(dense_path):
-        datagen.power_law_graph(
-            spark, n_vertices=DENSE[0], n_edges=DENSE[1], seed=42,
-            zipf_exponent=1.9, hub_fraction=0.05, partitions=64,
-        ).dropDuplicates(["src", "dst"]).write.mode(
-            "overwrite").parquet(dense_path)
-    dense = spark.read.parquet(dense_path)
-    print(json.dumps({"op": "dense_edges", "rows": dense.count()}),
-          flush=True)
+    def wants(face: str) -> bool:
+        return not only or any(o.endswith(face) for o in only)
 
-    timed("harmonic_k4_dense", lambda: harmonic_centrality(
-        dense, [1, 2, 3, 5]).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("harmonic_q6").alias("sum_q6")).first().asDict())
-    timed("random_walks_k4_dense", lambda: {
-        "rows": random_walks(dense, num_steps=4).count()})
-    timed("scc_condensation_dense", lambda: {
-        "cross_edges": scc_condensation(dense, n=DENSE[0]).count()})
+    if wants("_dense"):
+        dense_path = os.environ.get("NEWOPS_DENSE_PATH",
+                                    "/tmp/newops_dense.parquet")
+        if not os.path.exists(dense_path):
+            datagen.power_law_graph(
+                spark, n_vertices=DENSE[0], n_edges=DENSE[1], seed=42,
+                zipf_exponent=1.9, hub_fraction=0.05, partitions=64,
+            ).dropDuplicates(["src", "dst"]).write.mode(
+                "overwrite").parquet(dense_path)
+        dense = spark.read.parquet(dense_path)
+        print(json.dumps({"op": "dense_edges", "rows": dense.count()}),
+              flush=True)
 
-    sparse_path = "/tmp/newops_sparse.parquet"
-    if not os.path.exists(sparse_path):
-        datagen.power_law_graph(
-            spark, n_vertices=SPARSE[0], n_edges=SPARSE[1], seed=43,
-            zipf_exponent=1.9, partitions=64,
-        ).dropDuplicates(["src", "dst"]).write.mode(
-            "overwrite").parquet(sparse_path)
-    sparse = spark.read.parquet(sparse_path)
-    print(json.dumps({"op": "sparse_edges", "rows": sparse.count()}),
-          flush=True)
+        timed("harmonic_k4_dense", lambda: harmonic_centrality(
+            dense, [1, 2, 3, 5]).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("harmonic_q6").alias("sum_q6")).first().asDict())
+        timed("random_walks_k4_dense", lambda: {
+            "rows": random_walks(dense, num_steps=4).count()})
+        timed("scc_condensation_dense", lambda: {
+            "cross_edges": scc_condensation(dense, n=DENSE[0]).count()})
+        timed("betweenness_p4_dense", lambda: betweenness(
+            dense, [1, 2, 3, 5]).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("bet_q9").alias("sum_q9")).first().asDict())
 
-    timed("link_prediction_sparse", lambda: {
-        "top_rows": link_prediction(
-            sparse, max_center_degree=64, top_k=1000).count()})
-    timed("harmonic_k4_sparse", lambda: harmonic_centrality(
-        sparse, [1, 2, 3, 5]).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("harmonic_q6").alias("sum_q6")).first().asDict())
-    timed("random_walks_k4_sparse", lambda: {
-        "rows": random_walks(sparse, num_steps=4).count()})
+    if wants("_sparse"):
+        sparse_path = "/tmp/newops_sparse.parquet"
+        if not os.path.exists(sparse_path):
+            datagen.power_law_graph(
+                spark, n_vertices=SPARSE[0], n_edges=SPARSE[1], seed=43,
+                zipf_exponent=1.9, partitions=64,
+            ).dropDuplicates(["src", "dst"]).write.mode(
+                "overwrite").parquet(sparse_path)
+        sparse = spark.read.parquet(sparse_path)
+        print(json.dumps({"op": "sparse_edges", "rows": sparse.count()}),
+              flush=True)
+
+        timed("link_prediction_sparse", lambda: {
+            "top_rows": link_prediction(
+                sparse, max_center_degree=64, top_k=1000).count()})
+        timed("harmonic_k4_sparse", lambda: harmonic_centrality(
+            sparse, [1, 2, 3, 5]).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("harmonic_q6").alias("sum_q6")).first().asDict())
+        timed("random_walks_k4_sparse", lambda: {
+            "rows": random_walks(sparse, num_steps=4).count()})
+        timed("betweenness_p4_sparse", lambda: betweenness(
+            sparse, [1, 2, 3, 5]).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("bet_q9").alias("sum_q9")).first().asDict())
 
     spark.stop()
 
