@@ -1,0 +1,112 @@
+"""HyperBall-style neighborhood function vs a brute-force Python
+oracle computing the SAME deterministic FM sketch over exact balls
+(SURVEY.md §5 strategy: constructed graphs + seeded random
+cross-checks), plus salted-layout equivalence."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from conftest import edges_df
+from pagerank_spark.operators.neighborhood import (
+    MAX_RHO,
+    N_SKETCHES,
+    est_constants,
+    neighborhood_function,
+)
+
+
+def _h60(k: int, v: int) -> int:
+    return int(hashlib.md5(f"nf:{k}:{v}".encode()).hexdigest()[:15], 16)
+
+
+def _tz(x: int) -> int:
+    if x == 0:
+        return MAX_RHO
+    return min((x & -x).bit_length() - 1, MAX_RHO)
+
+
+def _balls(edges, radius: int, directed: bool):
+    adj: dict[int, set[int]] = {}
+    verts = set()
+    for s, d in edges:
+        verts.add(s)
+        verts.add(d)
+        adj.setdefault(s, set()).add(d)
+        if not directed:
+            adj.setdefault(d, set()).add(s)
+    ball = {v: {v} for v in verts}
+    for _ in range(radius):
+        ball = {
+            v: ball[v].union(*(ball[u] for u in adj.get(v, ())))
+            for v in verts
+        }
+    return ball
+
+
+def _oracle(edges, radius: int, directed: bool = False,
+            n_sketches: int = N_SKETCHES):
+    consts = est_constants(n_sketches)
+    out = {}
+    for v, members in _balls(edges, radius, directed).items():
+        sum_rho = 0
+        for k in range(n_sketches):
+            s = 0
+            for u in members:
+                s |= 1 << _tz(_h60(k, u))
+            mask = (~s) & (s + 1)
+            sum_rho += mask.bit_length() - 1
+        est = round(consts[sum_rho % n_sketches]
+                    * 2.0 ** (sum_rho // n_sketches), 6)
+        out[v] = (sum_rho, est)
+    return out
+
+
+def _run(spark, edges, radius: int, **kw):
+    df = neighborhood_function(edges_df(spark, edges), radius, **kw)
+    return {r["id"]: (r["sum_rho"], r["ball_est"]) for r in df.collect()}
+
+
+def test_chain_plus_island(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)]
+    for radius in (1, 2, 4):
+        assert _run(spark, edges, radius) == _oracle(edges, radius)
+
+
+def test_directed_out_ball(spark):
+    # 0 -> 1 -> 2, plus 3 -> 0: out-balls differ per vertex.
+    edges = [(0, 1), (1, 2), (3, 0)]
+    got = _run(spark, edges, 2, directed=True)
+    assert got == _oracle(edges, 2, directed=True)
+    # radius-2 out-ball of 3 is {3,0,1}; of 2 is just {2}.
+    exact = _balls(edges, 2, directed=True)
+    assert exact[3] == {3, 0, 1} and exact[2] == {2}
+
+
+def test_random_graph_matches_oracle(spark):
+    rng = random.Random(7)
+    edges = list({(rng.randrange(60), rng.randrange(60))
+                  for _ in range(220)})
+    assert _run(spark, edges, 3) == _oracle(edges, 3)
+
+
+def test_duplicate_and_self_loop_insensitive(spark):
+    base = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    noisy = base + base + [(1, 1), (3, 3)]
+    assert _run(spark, base, 2) == _run(spark, noisy, 2)
+
+
+def test_salted_layout_equivalent(spark):
+    # Hub star: force the salted gather and check bit-equality with
+    # the broadcast layout (OR is idempotent, so replication is safe).
+    edges = [(0, i) for i in range(1, 40)] + [(1, 2), (2, 3)]
+    plain = _run(spark, edges, 2)
+    forced = _run(spark, edges, 2, salt_threshold=5, num_salts=4)
+    assert plain == forced == _oracle(edges, 2)
+
+
+def test_saturation_radius_is_fixpoint(spark):
+    # Past the diameter the sketches stop changing (monotone + OR).
+    edges = [(0, 1), (1, 2)]
+    assert _run(spark, edges, 2) == _run(spark, edges, 9)
