@@ -138,6 +138,10 @@ def main() -> None:
     timed("betweenness_p4",
           lambda: betweenness(g.edges, [1, 2, 3, 5]).agg(
               F.sum("bet_q9")).collect())
+    from pagerank_spark.operators.neighborhood import neighborhood_function
+    timed("neighborhood_r3",
+          lambda: neighborhood_function(g.edges, 3).agg(
+              F.sum("sum_rho")).collect())
 
     # -- extraction stage (pandas-UDF path) -------------------------------
     files, _ = datagen.repo_files_corpus(

@@ -7,7 +7,8 @@ jobs/pagerank_job.py).
         --edges /path/to/edges.parquet \
         --algos cc,lpa,triangles,bfs,sssp,hits,katz,kcore,ppr,scc,wpr,lcc,degdist \
         [--algos ...,linkpred,harmonic,walks,condense,ktruss,diameter] \
-        [--algos ...,eigen,closeness,bipartite] \
+        [--algos ...,eigen,closeness,bipartite,mis,levels,betweenness] \
+        [--algos ...,neighborhood] \
         [--source 0] [--k 3] [--max-iter 20] [--out result.json]
 
 Every algorithm prints its summary into ONE JSON line, so the job is
@@ -93,7 +94,7 @@ def main() -> None:
                        "katz", "kcore", "ppr", "scc", "wpr", "lcc", "degdist",
                        "linkpred", "harmonic", "walks", "condense", "ktruss",
                        "diameter", "eigen", "closeness", "bipartite", "mis",
-                       "levels", "betweenness"}
+                       "levels", "betweenness", "neighborhood"}
     if unknown:
         raise SystemExit(f"unknown algos: {sorted(unknown)}")
 
@@ -260,6 +261,18 @@ def main() -> None:
                          F.max("level").alias("depth")).first()
             return {"sccs": row["sccs"], "dag_depth": row["depth"]}
         run("levels", _levels)
+    if "neighborhood" in algos:
+        from pagerank_spark.operators.neighborhood import (
+            neighborhood_function)
+
+        def _nf():
+            nf = neighborhood_function(g.edges, 3)
+            row = nf.agg(F.count(F.lit(1)).alias("n"),
+                         F.sum("sum_rho").alias("sr"),
+                         F.max("ball_est").alias("mb")).first()
+            return {"vertices": row["n"], "sum_rho": row["sr"],
+                    "max_ball_est": row["mb"]}
+        run("neighborhood", _nf)
     if "diameter" in algos:
         def _diam():
             d1 = bfs_depths(g.edges, [args.source])

@@ -32,6 +32,7 @@ def main() -> None:
     from pagerank_spark import datagen
     from pagerank_spark.operators.betweenness import betweenness
     from pagerank_spark.operators.centrality import harmonic_centrality
+    from pagerank_spark.operators.neighborhood import neighborhood_function
     from pagerank_spark.operators.linkpred import link_prediction
     from pagerank_spark.operators.scc import scc_condensation
     from pagerank_spark.operators.walks import random_walks
@@ -85,6 +86,10 @@ def main() -> None:
             dense, [1, 2, 3, 5]).agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum("bet_q9").alias("sum_q9")).first().asDict())
+        timed("neighborhood_r3_dense", lambda: neighborhood_function(
+            dense, 3).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("sum_rho").alias("sum_rho")).first().asDict())
 
     if wants("_sparse"):
         sparse_path = "/tmp/newops_sparse.parquet"
@@ -111,6 +116,10 @@ def main() -> None:
             sparse, [1, 2, 3, 5]).agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum("bet_q9").alias("sum_q9")).first().asDict())
+        timed("neighborhood_r3_sparse", lambda: neighborhood_function(
+            sparse, 3).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("sum_rho").alias("sum_rho")).first().asDict())
 
     spark.stop()
 
