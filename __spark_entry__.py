@@ -599,6 +599,17 @@ def q_neighborhood_k3(spark, sf_dir):
                                  n_sketches=NF_SKETCHES)
 
 
+def q_distance_distribution(spark, sf_dir):
+    """Per-radius neighborhood function N(r) — the distance
+    distribution / effective diameter face over the same sketch loop
+    as neighborhood_k3; both output columns are exact-integer sums
+    (q6-floored ball terms), so partial-sum order is irrelevant."""
+    from pagerank_spark.operators.neighborhood import distance_distribution
+
+    return distance_distribution(_edges(spark, sf_dir), NF_RADIUS,
+                                 n_sketches=NF_SKETCHES)
+
+
 def q_bipartite_components(spark, sf_dir):
     """Per-component bipartite test: BFS-parity 2-coloring from each
     component's min-id root, odd edges counted as odd-cycle
@@ -1201,6 +1212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   driver fully checks via pagerank_converged (180-step oracle)
         #   AND repo_pagerank_k3 (composition face); demoted to fit
         #   neighborhood_k3 into the 50-query window
+        "distance_distribution": q_distance_distribution,  # per-radius
+        #   aggregate face of the sketch loop the driver checks
+        #   per-vertex via neighborhood_k3
         "scc_condensation": q_scc_condensation,  # derived from scc
         "condensation_levels": q_condensation_levels,  # DAG layering over scc
         "diameter_2sweep": q_diameter_2sweep,  # two bfs_depths runs
@@ -1534,14 +1548,18 @@ def _mis_unrolled_sql(rounds: int, seed: int) -> str:
     return "".join(parts)
 
 
-def _nf_unrolled_sql(radius: int, n_sketches: int) -> str:
+def _nf_unrolled_sql(radius: int, n_sketches: int,
+                     distribution: bool = False) -> str:
     """Generate the radius-unrolled DuckDB HyperBall chain mirroring
     ``operators/neighborhood.py``: identical md5-derived FM bits at
     radius 0, one bit_or gather + OR-merge per radius over the
     symmetrized edge set (OR is idempotent, so the engine's
     dedupe-free union and this UNION-deduped one agree), then the
     same bit_count lowest-unset-bit extraction and the same shared
-    mantissa constants — all-integer state, one final double multiply."""
+    mantissa constants — all-integer state, one final double multiply.
+    ``distribution=True`` emits the per-radius aggregate face instead
+    (radius, sum_rho_total, n_pairs_q6), mirroring
+    ``distance_distribution``'s exact-integer sums."""
     from pagerank_spark.operators.neighborhood import MAX_RHO, est_constants
 
     ks = range(n_sketches)
@@ -1579,11 +1597,24 @@ def _nf_unrolled_sql(radius: int, n_sketches: int) -> str:
     mant = " ".join(
         f"WHEN {i} THEN {est_constants(n_sketches)[i]!r}"
         for i in range(n_sketches))
+    est = (f"round(CASE (sum_rho % {n_sketches}) {mant} END"
+           f" * power(2, sum_rho // {n_sketches}), 6)")
+    if distribution:
+        for r in range(radius + 1):
+            parts.append(f""",
+                f{r} AS (SELECT id, ({rho}) AS sum_rho FROM s{r})""")
+        sel = "\nUNION ALL ".join(
+            f"""SELECT CAST({r} AS INT) AS radius,
+                   sum(sum_rho) AS sum_rho_total,
+                   sum(CAST(floor({est} * 1000000.0) AS BIGINT))
+                       AS n_pairs_q6 FROM f{r}"""
+            for r in range(radius + 1))
+        parts.append("\n" + sel)
+        return "".join(parts)
     parts.append(f""",
         f AS (SELECT id, ({rho}) AS sum_rho FROM s{radius})
         SELECT id, sum_rho,
-               round(CASE (sum_rho % {n_sketches}) {mant} END
-                     * power(2, sum_rho // {n_sketches}), 6) AS ball_est
+               {est} AS ball_est
         FROM f""")
     return "".join(parts)
 
@@ -2328,6 +2359,8 @@ def oracle_sql() -> dict[str, str]:
         "betweenness": _betweenness_unrolled_sql(
             BETWEENNESS_PIVOTS, BETWEENNESS_ORACLE_DEPTH),
         "neighborhood_k3": _nf_unrolled_sql(NF_RADIUS, NF_SKETCHES),
+        "distance_distribution": _nf_unrolled_sql(
+            NF_RADIUS, NF_SKETCHES, distribution=True),
         "random_walks": _walks_unrolled_sql(WALK_STEPS),
         "ktruss": _truss_unrolled_sql(TRUSS_K, TRUSS_ORACLE_ROUNDS),
         "diameter_2sweep": f"""

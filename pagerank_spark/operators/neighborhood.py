@@ -127,6 +127,7 @@ def neighborhood_function(
     salt_threshold: int | None = None,
     num_salts: int = 8,
     checkpoint: CheckpointManager | None = None,
+    _on_round=None,
 ) -> DataFrame:
     """Per-vertex ball-size estimate at ``max_radius`` hops:
     (id, sum_rho, ball_est).
@@ -175,6 +176,8 @@ def neighborhood_function(
     cur = _init_sketches(vertices, n_sketches).persist()
     cur.count()
     try:
+        if _on_round is not None:
+            _on_round(0, cur)
         for r in range(1, max_radius + 1):
             msgs = _gather_or(plan, cur, n_sketches)
             nxt = (
@@ -192,9 +195,58 @@ def neighborhood_function(
             nxt.count()
             cur.unpersist()
             cur = nxt
+            if _on_round is not None:
+                _on_round(r, cur)
         return _finalize(cur, n_sketches)
     finally:
         plan.release()
+
+
+def distance_distribution(
+    edges: DataFrame,
+    max_radius: int,
+    n_sketches: int = N_SKETCHES,
+    directed: bool = False,
+    **kw,
+) -> DataFrame:
+    """The neighborhood function proper: per radius r = 0..max_radius,
+    (radius, sum_rho_total, n_pairs_q6) where n_pairs_q6/1e6 estimates
+    N(r) = Σ_v |B(v, r)| — the reachable-pair count HyperANF derives
+    the distance distribution and effective diameter from (the
+    "four degrees of separation" statistic).
+
+    Both aggregates are exact-integer sums (sum_rho is integer sketch
+    state; each per-vertex ball term is floored to a q6 BIGINT before
+    summation), so partial-sum order cannot perturb the result —
+    portable to any SQL engine.  n_pairs_q6 saturates BIGINT only past
+    Σ ball ≈ 9.2e12 estimated pairs per 1e6 quantum; at that scale
+    read the unquantized mean from sum_rho_total instead.
+
+    Cost: one extra |V|-row scalar aggregation per radius on top of
+    the ``neighborhood_function`` loop (state is already cached).
+    """
+    spark = edges.sparkSession
+    rows: list[tuple[int, int, int]] = []
+
+    def snap(radius: int, sketches: DataFrame) -> None:
+        agg = (
+            _finalize(sketches, n_sketches)
+            .agg(
+                F.sum("sum_rho").alias("sr"),
+                F.sum(
+                    F.floor(F.col("ball_est") * F.lit(1_000_000.0))
+                    .cast("bigint")
+                ).alias("np"),
+            )
+            .first()
+        )
+        rows.append((radius, int(agg["sr"]), int(agg["np"])))
+
+    neighborhood_function(
+        edges, max_radius, n_sketches=n_sketches, directed=directed,
+        _on_round=snap, **kw)
+    return spark.createDataFrame(
+        rows, "radius INT, sum_rho_total BIGINT, n_pairs_q6 BIGINT")
 
 
 def _finalize(sketches: DataFrame, n_sketches: int) -> DataFrame:

@@ -106,6 +106,31 @@ def test_salted_layout_equivalent(spark):
     assert plain == forced == _oracle(edges, 2)
 
 
+def test_distance_distribution_matches_oracle(spark):
+    from pagerank_spark.operators.neighborhood import distance_distribution
+
+    rng = random.Random(11)
+    edges = list({(rng.randrange(40), rng.randrange(40))
+                  for _ in range(90)})
+    got = {
+        r["radius"]: (r["sum_rho_total"], r["n_pairs_q6"])
+        for r in distance_distribution(
+            edges_df(spark, edges), 3).collect()
+    }
+    assert sorted(got) == [0, 1, 2, 3]
+    for radius in range(4):
+        o = _oracle(edges, radius)
+        want_sr = sum(sr for sr, _ in o.values())
+        want_np = sum(int(est * 1_000_000.0) for _, est in o.values())
+        assert got[radius][0] == want_sr
+        # per-vertex floor quantization: allow each term's floor to
+        # shave <1 quantum vs the float-derived expectation
+        assert 0 <= want_np - got[radius][1] <= len(o)
+    # N(r) is monotone nondecreasing in r
+    pairs = [got[r][1] for r in range(4)]
+    assert pairs == sorted(pairs)
+
+
 def test_saturation_radius_is_fixpoint(spark):
     # Past the diameter the sketches stop changing (monotone + OR).
     edges = [(0, 1), (1, 2)]
