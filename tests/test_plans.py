@@ -187,3 +187,26 @@ def test_tfidf_topk_no_cartesian(spark):
     pairs = (a.join(b, "term").where(F.col("a") < F.col("b"))
              .groupBy("a", "b").agg(F.sum(F.col("wa") * F.col("wb"))))
     assert "CartesianProduct" not in _physical(pairs)
+
+
+def test_neighborhood_gather_broadcasts_sketches(spark):
+    # At small |V| the sketch side must broadcast (edge rows never
+    # move); never a cartesian product.  The returned DF itself reads
+    # the round checkpoint, so assert on the per-radius gather stage.
+    from pagerank_spark.operators import neighborhood as nf
+    from pagerank_spark.operators.pagerank import plan_gather
+
+    edges = edges_df(spark, F2_EDGES)
+    verts = edges.select(F.col("src").alias("id")).unionByName(
+        edges.select(F.col("dst").alias("id"))).distinct()
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg"))
+    plan_obj = plan_gather(edges, deg, verts.count(), mode="auto")
+    try:
+        gathered = nf._gather_or(
+            plan_obj, nf._init_sketches(verts, 4), 4)
+        plan = _physical(gathered)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        plan_obj.release()
