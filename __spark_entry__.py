@@ -391,6 +391,19 @@ def q_label_propagation_k2(spark, sf_dir):
     return label_propagation(_edges(spark, sf_dir), max_iter=2)
 
 
+def q_lpa_modularity(spark, sf_dir):
+    """Cross-operator composition: Newman modularity decomposition of
+    the 2-round label-propagation partition — per-community intra-edge
+    count, degree mass, and modularity contribution.  Community
+    quality is the metric the reference's fixed PageRank pipeline has
+    no analogue for (mandated beyond reference)."""
+    from pagerank_spark.operators import label_propagation, modularity
+
+    edges = _edges(spark, sf_dir)
+    labels = label_propagation(edges, max_iter=2)
+    return modularity(edges, labels, round_digits=ROUND)
+
+
 def q_triangle_count(spark, sf_dir):
     from pagerank_spark.operators.triangles import triangles
 
@@ -1159,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_depths": q_bfs_depths,
         "sssp": q_sssp,
         "label_propagation_k2": q_label_propagation_k2,
+        "lpa_modularity": q_lpa_modularity,
         "triangle_count": q_triangle_count,
         "hits_k5": q_hits_k5,
         "katz_k5": q_katz_k5,
@@ -2164,6 +2178,34 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation_k2": f"""
             {edge_cte}, {_LPA2_CTES}
             SELECT id, label FROM l2
+        """,
+        "lpa_modularity": f"""
+            {edge_cte}, {_LPA2_CTES},
+            und AS (SELECT DISTINCT least(src, dst) AS lo,
+                                    greatest(src, dst) AS hi
+                    FROM edges WHERE src <> dst),
+            mm AS (SELECT count(*) AS m FROM und),
+            deg AS (SELECT id, count(*) AS deg FROM (
+                        SELECT lo AS id FROM und
+                        UNION ALL SELECT hi AS id FROM und)
+                    GROUP BY id),
+            dsum AS (SELECT l.label, sum(d.deg) AS degree_sum
+                     FROM deg d JOIN l2 l ON d.id = l.id
+                     GROUP BY l.label),
+            intra AS (SELECT a.label, count(*) AS intra_edges
+                      FROM und u
+                      JOIN l2 a ON u.lo = a.id
+                      JOIN l2 b ON u.hi = b.id
+                      WHERE a.label = b.label
+                      GROUP BY a.label)
+            SELECT d.label,
+                   coalesce(i.intra_edges, 0) AS intra_edges,
+                   d.degree_sum,
+                   round(coalesce(i.intra_edges, 0) / mm.m
+                         - pow(d.degree_sum / (2.0 * mm.m), 2),
+                         {ROUND}) AS contribution
+            FROM dsum d LEFT JOIN intra i ON d.label = i.label
+            CROSS JOIN mm
         """,
         "reciprocity": f"""
             {edge_cte},

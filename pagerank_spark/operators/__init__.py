@@ -1,7 +1,8 @@
 from pagerank_spark.operators.pagerank import pagerank, PageRankResult
 from pagerank_spark.operators.ppr import personalized_pagerank
 from pagerank_spark.operators.components import connected_components
-from pagerank_spark.operators.labelprop import label_propagation
+from pagerank_spark.operators.labelprop import (label_propagation, modularity,
+                                                 modularity_score)
 from pagerank_spark.operators.triangles import triangle_count, triangles_per_vertex
 from pagerank_spark.operators.bfs import bfs_depths
 from pagerank_spark.operators.betweenness import betweenness
@@ -22,6 +23,8 @@ __all__ = [
     "personalized_pagerank",
     "connected_components",
     "label_propagation",
+    "modularity",
+    "modularity_score",
     "triangle_count",
     "triangles_per_vertex",
     "bfs_depths",

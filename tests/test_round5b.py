@@ -353,3 +353,68 @@ def test_token_budget_stats_consistent_with_sample(spark):
     assert stats["zh"]["kept_docs"] == 0 and stats["zh"]["rate"] == 0.0
     # expectation sanity: en kept mass is in the budget's ballpark
     assert 0 < stats["en"]["kept_tok"] <= stats["en"]["total_tok"]
+
+
+# ---------------------------------------------------------------------------
+# Modularity
+
+
+def _brute_modularity(edges, labels):
+    """Newman Q over the undirected simple graph, per community."""
+    und = {tuple(sorted((s, d))) for s, d in edges if s != d}
+    m = len(und)
+    deg: dict[int, int] = {}
+    for lo, hi in und:
+        deg[lo] = deg.get(lo, 0) + 1
+        deg[hi] = deg.get(hi, 0) + 1
+    out = {}
+    for c in set(labels.values()):
+        e_c = sum(1 for lo, hi in und
+                  if labels[lo] == c and labels[hi] == c)
+        d_c = sum(v for k, v in deg.items() if labels[k] == c)
+        out[c] = (e_c, d_c, e_c / m - (d_c / (2 * m)) ** 2)
+    return out
+
+
+def test_modularity_two_cliques(spark):
+    """Two triangles bridged by one edge, labeled by clique: a
+    partition with known-good Q (= 2*(3/7 - (7/14)^2) = 0.357142857)."""
+    from pagerank_spark.operators import modularity, modularity_score
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (0, 3)]
+    labels = {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+    exp = _brute_modularity(edges, labels)
+
+    edf = edges_df(spark, edges)
+    ldf = spark.createDataFrame(list(labels.items()), "id BIGINT, label BIGINT")
+    got = {r["label"]: (r["intra_edges"], r["degree_sum"], r["contribution"])
+           for r in modularity(edf, ldf).collect()}
+    assert set(got) == set(exp)
+    for c in exp:
+        assert got[c][0] == exp[c][0]
+        assert got[c][1] == exp[c][1]
+        assert got[c][2] == pytest.approx(exp[c][2], abs=1e-6)
+
+    q = modularity_score(edf, ldf).collect()[0]
+    assert q["n_communities"] == 2
+    assert q["modularity"] == pytest.approx(
+        sum(v[2] for v in exp.values()), abs=1e-6)
+
+
+def test_modularity_singleton_partition_and_dupes(spark):
+    """Labels = own id (the LPA init): every community contributes
+    -(deg/2m)^2 except... intra edges only where an edge joins equal
+    labels — here none.  Duplicate and self-loop edges are collapsed
+    first, matching the triangles/assortativity convention."""
+    from pagerank_spark.operators import modularity
+
+    edges = [(0, 1), (1, 0), (0, 0), (1, 2)]   # dupe + self-loop
+    labels = {0: 0, 1: 1, 2: 2}
+    exp = _brute_modularity([(0, 1), (1, 2)], labels)
+    edf = edges_df(spark, edges)
+    ldf = spark.createDataFrame(list(labels.items()), "id BIGINT, label BIGINT")
+    got = {r["label"]: (r["intra_edges"], r["degree_sum"], r["contribution"])
+           for r in modularity(edf, ldf).collect()}
+    assert set(got) == set(exp)
+    for c in exp:
+        assert got[c] == (exp[c][0], exp[c][1], pytest.approx(exp[c][2], abs=1e-6))
