@@ -404,6 +404,16 @@ def q_lpa_modularity(spark, sf_dir):
     return modularity(edges, labels, round_digits=ROUND)
 
 
+def q_lpa_conductance(spark, sf_dir):
+    """Per-community conductance of the 2-round LPA partition — the
+    boundary-leakage complement to q_lpa_modularity."""
+    from pagerank_spark.operators import conductance, label_propagation
+
+    edges = _edges(spark, sf_dir)
+    labels = label_propagation(edges, max_iter=2)
+    return conductance(edges, labels, round_digits=ROUND)
+
+
 def q_triangle_count(spark, sf_dir):
     from pagerank_spark.operators.triangles import triangles
 
@@ -1173,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": q_sssp,
         "label_propagation_k2": q_label_propagation_k2,
         "lpa_modularity": q_lpa_modularity,
+        "lpa_conductance": q_lpa_conductance,
         "triangle_count": q_triangle_count,
         "hits_k5": q_hits_k5,
         "katz_k5": q_katz_k5,
@@ -2205,6 +2216,39 @@ def oracle_sql() -> dict[str, str]:
                          - pow(d.degree_sum / (2.0 * mm.m), 2),
                          {ROUND}) AS contribution
             FROM dsum d LEFT JOIN intra i ON d.label = i.label
+            CROSS JOIN mm
+        """,
+        "lpa_conductance": f"""
+            {edge_cte}, {_LPA2_CTES},
+            und AS (SELECT DISTINCT least(src, dst) AS lo,
+                                    greatest(src, dst) AS hi
+                    FROM edges WHERE src <> dst),
+            mm AS (SELECT count(*) AS m FROM und),
+            deg AS (SELECT id, count(*) AS deg FROM (
+                        SELECT lo AS id FROM und
+                        UNION ALL SELECT hi AS id FROM und)
+                    GROUP BY id),
+            vol AS (SELECT l.label, sum(d.deg) AS volume
+                    FROM deg d JOIN l2 l ON d.id = l.id
+                    GROUP BY l.label),
+            bnd AS (SELECT a.label AS lo_label, b.label AS hi_label
+                    FROM und u
+                    JOIN l2 a ON u.lo = a.id
+                    JOIN l2 b ON u.hi = b.id
+                    WHERE a.label <> b.label),
+            cut AS (SELECT label, count(*) AS cut_edges FROM (
+                        SELECT lo_label AS label FROM bnd
+                        UNION ALL SELECT hi_label AS label FROM bnd)
+                    GROUP BY label)
+            SELECT v.label,
+                   coalesce(c.cut_edges, 0) AS cut_edges,
+                   v.volume,
+                   CASE WHEN least(v.volume, 2 * mm.m - v.volume) > 0
+                        THEN round(coalesce(c.cut_edges, 0)
+                                   / least(v.volume, 2 * mm.m - v.volume),
+                                   {ROUND})
+                   END AS conductance
+            FROM vol v LEFT JOIN cut c ON v.label = c.label
             CROSS JOIN mm
         """,
         "reciprocity": f"""

@@ -81,6 +81,13 @@ def main() -> None:
     timed("triangle_count", lambda: triangles(g.edges).count())
     timed("label_propagation_k2",
           lambda: label_propagation(g.edges, max_iter=2).count())
+
+    def _lpa_modularity():
+        from pagerank_spark.operators.labelprop import modularity_score
+        labels = label_propagation(g.edges, max_iter=2)
+        return modularity_score(g.edges, labels).first()["modularity"]
+
+    timed("lpa_modularity", _lpa_modularity)
     timed("bfs_depths", lambda: bfs_depths(g.edges, [1]).count())
     timed("ppr_k20",
           lambda: personalized_pagerank(g, [1], max_iter=20).ranks.count())

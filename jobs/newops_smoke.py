@@ -121,6 +121,16 @@ def main() -> None:
                 F.count(F.lit(1)).alias("n"),
                 F.sum("sum_rho").alias("sum_rho")).first().asDict())
 
+        def _modularity_cc():
+            from pagerank_spark.operators.components import (
+                connected_components)
+            from pagerank_spark.operators.labelprop import modularity_score
+            labels = connected_components(sparse).select(
+                "id", F.col("component").alias("label"))
+            return modularity_score(sparse, labels).first().asDict()
+
+        timed("modularity_cc_sparse", _modularity_cc)
+
     spark.stop()
 
 

@@ -1,8 +1,8 @@
 from pagerank_spark.operators.pagerank import pagerank, PageRankResult
 from pagerank_spark.operators.ppr import personalized_pagerank
 from pagerank_spark.operators.components import connected_components
-from pagerank_spark.operators.labelprop import (label_propagation, modularity,
-                                                 modularity_score)
+from pagerank_spark.operators.labelprop import (conductance, label_propagation,
+                                                 modularity, modularity_score)
 from pagerank_spark.operators.triangles import triangle_count, triangles_per_vertex
 from pagerank_spark.operators.bfs import bfs_depths
 from pagerank_spark.operators.betweenness import betweenness
@@ -22,6 +22,7 @@ __all__ = [
     "PageRankResult",
     "personalized_pagerank",
     "connected_components",
+    "conductance",
     "label_propagation",
     "modularity",
     "modularity_score",

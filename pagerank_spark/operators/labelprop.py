@@ -231,3 +231,68 @@ def modularity_score(edges: DataFrame, labels: DataFrame,
     return per.agg(
         F.count(F.lit(1)).alias("n_communities"),
         F.round(F.sum("contribution"), round_digits).alias("modularity"))
+
+
+def conductance(edges: DataFrame, labels: DataFrame,
+                round_digits: int = 7) -> DataFrame:
+    """Per-community conductance over the same undirected simple graph
+    as :func:`modularity`:
+
+        phi(c) = cut(c) / min(vol(c), 2m - vol(c))
+
+    where ``cut(c)`` counts boundary edges (exactly one endpoint in c)
+    and ``vol(c)`` sums member degrees.  NULL when the denominator is
+    0 (a community holding ALL edge volume has no outside to leak to).
+    The standard community-quality complement to modularity: low
+    conductance = few escape routes per unit volume.
+
+    Scale shape mirrors modularity — the boundary edges are found by
+    the same two |V|-side equi-joins, then each contributes one row to
+    BOTH incident communities via a 2-element ``explode`` (|cut|×2
+    rows, never |E|×2).
+    """
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("lo"),
+                F.greatest("src", "dst").alias("hi"))
+        .distinct()
+        .persist()
+    )
+    try:
+        m = und.agg(F.count(F.lit(1)).alias("m"))
+        deg = (
+            und.select(F.col("lo").alias("id"))
+            .unionByName(und.select(F.col("hi").alias("id")))
+            .groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+        )
+        lab = labels.select("id", "label")
+        vol = (
+            deg.join(lab, "id")
+            .groupBy("label").agg(F.sum("deg").alias("volume"))
+        )
+        lo_lab = lab.select(F.col("id").alias("lo"),
+                            F.col("label").alias("lo_label"))
+        hi_lab = lab.select(F.col("id").alias("hi"),
+                            F.col("label").alias("hi_label"))
+        cut = (
+            und.join(lo_lab, "lo").join(hi_lab, "hi")
+            .where(F.col("lo_label") != F.col("hi_label"))
+            .select(F.explode(F.array("lo_label", "hi_label"))
+                    .alias("label"))
+            .groupBy("label").agg(F.count(F.lit(1)).alias("cut_edges"))
+        )
+        denom = F.least(F.col("volume"), 2 * F.col("m") - F.col("volume"))
+        out = (
+            vol.join(cut, "label", "left")
+            .withColumn("cut_edges", F.coalesce("cut_edges", F.lit(0)))
+            .crossJoin(F.broadcast(m))
+            .select(
+                "label", "cut_edges", "volume",
+                F.when(denom > 0,
+                       F.round(F.col("cut_edges") / denom, round_digits))
+                .alias("conductance"))
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        und.unpersist()
+    return out

@@ -418,3 +418,34 @@ def test_modularity_singleton_partition_and_dupes(spark):
     assert set(got) == set(exp)
     for c in exp:
         assert got[c] == (exp[c][0], exp[c][1], pytest.approx(exp[c][2], abs=1e-6))
+
+
+def test_conductance_two_cliques(spark):
+    """Same bridged-triangles fixture: each community has exactly the
+    one bridge as cut, vol 7 of 2m=14, so phi = 1/7 on both sides."""
+    from pagerank_spark.operators import conductance
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (0, 3)]
+    labels = {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+    edf = edges_df(spark, edges)
+    ldf = spark.createDataFrame(list(labels.items()), "id BIGINT, label BIGINT")
+    got = {r["label"]: (r["cut_edges"], r["volume"], r["conductance"])
+           for r in conductance(edf, ldf).collect()}
+    assert got[0] == (1, 7, pytest.approx(1 / 7, abs=1e-6))
+    assert got[3] == (1, 7, pytest.approx(1 / 7, abs=1e-6))
+
+
+def test_conductance_whole_graph_is_null(spark):
+    """One community holding all volume: denominator min(vol, 2m-vol)
+    = 0, conductance NULL; an isolated-from-it second community of one
+    edge gets cut 0 -> conductance 0."""
+    from pagerank_spark.operators import conductance
+
+    edges = [(0, 1), (1, 2), (7, 8)]
+    labels = {0: 0, 1: 0, 2: 0, 7: 7, 8: 7}
+    edf = edges_df(spark, edges)
+    ldf = spark.createDataFrame(list(labels.items()), "id BIGINT, label BIGINT")
+    got = {r["label"]: (r["cut_edges"], r["volume"], r["conductance"])
+           for r in conductance(edf, ldf).collect()}
+    assert got[0] == (0, 4, pytest.approx(0.0))
+    assert got[7] == (0, 2, pytest.approx(0.0))
