@@ -91,6 +91,7 @@ BETWEENNESS_PIVOTS = (1, 2, 3, 5)  # Brandes pivot set, both engines
 BETWEENNESS_ORACLE_DEPTH = 8
 NF_RADIUS = 3    # neighborhood_k3 ball radius, both engines
 NF_SKETCHES = 8  # neighborhood_k3 FM sketches per vertex, both engines
+EFF_DIAM_ALPHA = 0.9  # effective-diameter reachable-pair fraction
 EIGEN_K = 5  # eigenvector_k5 power-iteration count, both engines
 MIS_SEED = 42  # deterministic-Luby MIS priority seed, both engines
 # Unrolled Luby rounds in the mis oracle; the engine runs to the true
@@ -631,6 +632,19 @@ def q_distance_distribution(spark, sf_dir):
 
     return distance_distribution(_edges(spark, sf_dir), NF_RADIUS,
                                  n_sketches=NF_SKETCHES)
+
+
+def q_effective_diameter(spark, sf_dir):
+    """HyperANF effective diameter: smallest (interpolated) radius r
+    with N(r) >= 0.9 * N(max_radius), derived from
+    distance_distribution's exact-integer per-radius sums — the only
+    floats are the alpha multiply and the final interpolation divide,
+    replicated verbatim in the oracle (_eff_diam_sql)."""
+    from pagerank_spark.operators.neighborhood import effective_diameter
+
+    return effective_diameter(_edges(spark, sf_dir), NF_RADIUS,
+                              alpha=EFF_DIAM_ALPHA,
+                              n_sketches=NF_SKETCHES)
 
 
 def q_bipartite_components(spark, sf_dir):
@@ -1240,6 +1254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_distribution": q_distance_distribution,  # per-radius
         #   aggregate face of the sketch loop the driver checks
         #   per-vertex via neighborhood_k3
+        "effective_diameter": q_effective_diameter,  # interpolated
+        #   alpha-crossing over distance_distribution's integer sums
         "scc_condensation": q_scc_condensation,  # derived from scc
         "condensation_levels": q_condensation_levels,  # DAG layering over scc
         "diameter_2sweep": q_diameter_2sweep,  # two bfs_depths runs
@@ -1642,6 +1658,41 @@ def _nf_unrolled_sql(radius: int, n_sketches: int,
                {est} AS ball_est
         FROM f""")
     return "".join(parts)
+
+
+def _eff_diam_sql(radius: int, n_sketches: int, alpha: float,
+                  round_digits: int = 7) -> str:
+    """Compose the distribution face of ``_nf_unrolled_sql`` with the
+    alpha-crossing interpolation of ``effective_diameter``: all inputs
+    to the crossing test are BIGINT-cast integer sums (mirroring
+    Spark's long columns — DuckDB's sum(BIGINT) is HUGEINT otherwise),
+    so both engines do the identical DOUBLE multiply, compare and
+    divide.  The bare ``0.9`` literal is cast to DOUBLE explicitly:
+    DuckDB would otherwise parse it as DECIMAL and compare in decimal
+    arithmetic while Spark compares in binary doubles."""
+    dist = _nf_unrolled_sql(radius, n_sketches, distribution=True)
+    return f"""
+        WITH dd AS MATERIALIZED (
+            SELECT radius, CAST(n_pairs_q6 AS BIGINT) AS n_pairs_q6
+            FROM ({dist})),
+        t AS (SELECT CAST({alpha!r} AS DOUBLE) * max(n_pairs_q6)
+                         AS target,
+                     max(n_pairs_q6) AS n_pairs_max FROM dd),
+        x AS (SELECT radius, n_pairs_q6,
+                     lag(n_pairs_q6) OVER (ORDER BY radius) AS prev
+              FROM dd),
+        hit AS (SELECT x.radius, x.n_pairs_q6, x.prev,
+                       t.target, t.n_pairs_max
+                FROM x, t
+                WHERE x.n_pairs_q6 >= t.target
+                  AND (x.prev IS NULL OR x.prev < t.target)
+                ORDER BY x.radius LIMIT 1)
+        SELECT n_pairs_max,
+               round(CASE WHEN prev IS NULL THEN CAST(radius AS DOUBLE)
+                          ELSE radius - 1
+                               + (target - prev) / (n_pairs_q6 - prev)
+                     END, {round_digits}) AS effective_diameter
+        FROM hit"""
 
 
 def _eigen_unrolled_sql(k: int) -> str:
@@ -2447,6 +2498,8 @@ def oracle_sql() -> dict[str, str]:
         "neighborhood_k3": _nf_unrolled_sql(NF_RADIUS, NF_SKETCHES),
         "distance_distribution": _nf_unrolled_sql(
             NF_RADIUS, NF_SKETCHES, distribution=True),
+        "effective_diameter": _eff_diam_sql(
+            NF_RADIUS, NF_SKETCHES, EFF_DIAM_ALPHA),
         "random_walks": _walks_unrolled_sql(WALK_STEPS),
         "ktruss": _truss_unrolled_sql(TRUSS_K, TRUSS_ORACLE_ROUNDS),
         "diameter_2sweep": f"""

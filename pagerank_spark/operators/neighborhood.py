@@ -280,3 +280,55 @@ def _finalize(sketches: DataFrame, n_sketches: int) -> DataFrame:
             6,
         ).alias("ball_est"),
     )
+
+
+def effective_diameter(
+    edges: DataFrame,
+    max_radius: int,
+    alpha: float = 0.9,
+    n_sketches: int = N_SKETCHES,
+    directed: bool = False,
+    round_digits: int = 7,
+    **kw,
+) -> DataFrame:
+    """HyperANF effective diameter: the (interpolated) smallest radius
+    r at which N(r) >= alpha * N(max_radius) — the "90% of reachable
+    pairs are within d_eff hops" statistic (Palmer et al. 2002; the
+    "four degrees of separation" measurement).  One row:
+    (n_pairs_max, effective_diameter).
+
+    Derived entirely from :func:`distance_distribution`'s
+    exact-integer per-radius sums, so the only floats are the single
+    alpha multiply and the final interpolation divide — replicated
+    verbatim in the DuckDB oracle.  N(r) is nondecreasing in r (the
+    sketch loop only ORs bits in), so exactly one crossing row exists.
+    Cost above the sketch loop: a window + limit over max_radius + 1
+    driver-side rows — nothing distributed.
+    """
+    from pyspark.sql import Window
+
+    dd = distance_distribution(
+        edges, max_radius, n_sketches=n_sketches, directed=directed, **kw)
+    tgt = dd.agg(
+        (F.lit(float(alpha)) * F.max("n_pairs_q6")).alias("target"),
+        F.max("n_pairs_q6").alias("n_pairs_max"))
+    x = dd.select(
+        "radius", "n_pairs_q6",
+        F.lag("n_pairs_q6").over(Window.orderBy("radius")).alias("prev"))
+    hit = (
+        x.crossJoin(F.broadcast(tgt))
+        .where((F.col("n_pairs_q6") >= F.col("target"))
+               & (F.col("prev").isNull()
+                  | (F.col("prev") < F.col("target"))))
+        .orderBy("radius").limit(1)
+    )
+    return hit.select(
+        "n_pairs_max",
+        F.round(
+            F.when(F.col("prev").isNull(),
+                   F.col("radius").cast("double"))
+            .otherwise(
+                F.col("radius") - F.lit(1)
+                + (F.col("target") - F.col("prev"))
+                / (F.col("n_pairs_q6") - F.col("prev"))),
+            round_digits).alias("effective_diameter"))

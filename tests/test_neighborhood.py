@@ -131,6 +131,44 @@ def test_distance_distribution_matches_oracle(spark):
     assert pairs == sorted(pairs)
 
 
+def test_effective_diameter_interpolates_crossing(spark):
+    from pagerank_spark.operators.neighborhood import (
+        distance_distribution,
+        effective_diameter,
+    )
+
+    rng = random.Random(13)
+    edges = list({(rng.randrange(40), rng.randrange(40))
+                  for _ in range(90)})
+    row = effective_diameter(
+        edges_df(spark, edges), 3, alpha=0.9).collect()[0]
+    # Recompute the crossing from the distribution the estimate is
+    # defined over: N(r) is monotone, so there is exactly one.
+    np = {r["radius"]: r["n_pairs_q6"]
+          for r in distance_distribution(edges_df(spark, edges), 3)
+          .collect()}
+    target = 0.9 * np[3]
+    assert row["n_pairs_max"] == np[3]
+    r = min(x for x in np if np[x] >= target)
+    if r == 0:
+        want = 0.0
+    else:
+        want = r - 1 + (target - np[r - 1]) / (np[r] - np[r - 1])
+    assert abs(row["effective_diameter"] - want) < 1e-6
+    assert 0.0 <= row["effective_diameter"] <= 3.0
+
+
+def test_effective_diameter_alpha_one_is_max_radius_crossing(spark):
+    # On a 3-chain, N(r) strictly grows to saturation at r=2, so
+    # alpha=1.0 must land exactly on the first saturated radius.
+    from pagerank_spark.operators.neighborhood import effective_diameter
+
+    edges = [(0, 1), (1, 2)]
+    row = effective_diameter(
+        edges_df(spark, edges), 3, alpha=1.0).collect()[0]
+    assert row["effective_diameter"] == 2.0
+
+
 def test_saturation_radius_is_fixpoint(spark):
     # Past the diameter the sketches stop changing (monotone + OR).
     edges = [(0, 1), (1, 2)]
