@@ -66,6 +66,11 @@ KCORE_K = 40  # kcore peel threshold, both engines
 # actual cascade depth yields the identical vertex set (verified:
 # the sf0.01 cascade settles well inside this bound).
 KCORE_ORACLE_ROUNDS = 20
+# Unrolled h-index rounds in the core_decomposition oracle; the
+# iteration is componentwise non-increasing with coreness as its
+# fixpoint, so extra rounds past convergence are exact no-ops
+# (probed: 15 rounds to fixpoint at sf0.01, 2 at sf0.001).
+CORENESS_ORACLE_ROUNDS = 18
 BFS_SOURCE, BFS_MAX_DEPTH = 1, 50  # bfs_depths source + hop cap, both engines
 DIAM_SOURCE = 1  # diameter_2sweep start vertex, both engines
 SSSP_SOURCE = 1  # sssp source vertex, both engines
@@ -539,6 +544,18 @@ def q_kcore(spark, sf_dir):
     from pagerank_spark.operators.structure import k_core
 
     return k_core(_edges(spark, sf_dir), KCORE_K)
+
+
+def q_core_decomposition(spark, sf_dir):
+    """Per-vertex coreness (full k-core decomposition) via the
+    iterated neighborhood h-index (Montresor et al. 2011): c_0 =
+    degree, c_{t+1}(v) = h-index of neighbor values, monotone down to
+    coreness.  All-integer state, so the oracle (the unrolled
+    grouped-window h-index chain) matches bit for bit; k_core at any
+    fixed k is the {coreness >= k} slice of this output."""
+    from pagerank_spark.operators.structure import core_decomposition
+
+    return core_decomposition(_edges(spark, sf_dir))
 
 
 def q_degree_distribution(spark, sf_dir):
@@ -1204,7 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector_k5": q_eigenvector_k5,
         "scc": q_scc,
         "clustering_coeff": q_clustering_coeff,
-        "kcore": q_kcore,
+        "core_decomposition": q_core_decomposition,
         "bipartite_components": q_bipartite_components,
         "link_prediction": q_link_prediction,
         "harmonic_centrality": q_harmonic_centrality,
@@ -1256,6 +1273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   per-vertex via neighborhood_k3
         "effective_diameter": q_effective_diameter,  # interpolated
         #   alpha-crossing over distance_distribution's integer sums
+        "kcore": q_kcore,  # fixed-k peel face: the {coreness >= k}
+        #   slice of core_decomposition (which took its window slot)
         "scc_condensation": q_scc_condensation,  # derived from scc
         "condensation_levels": q_condensation_levels,  # DAG layering over scc
         "diameter_2sweep": q_diameter_2sweep,  # two bfs_depths runs
@@ -1851,6 +1870,44 @@ def _kcore_unrolled_sql(k: int, rounds: int) -> str:
     return "".join(parts)
 
 
+def _coreness_unrolled_sql(rounds: int) -> str:
+    """Generate the unrolled DuckDB h-index chain mirroring
+    ``structure.core_decomposition``: c0 = degree over the simple
+    undirected graph; per round one gather join, a (dst, value)
+    group-count, a cumulative-count window ordered by value DESC and
+    h = max(least(value, cum)).  The iteration is componentwise
+    non-increasing with coreness as its fixpoint, so any unroll >=
+    the convergence depth yields the identical table.  Vertices
+    outside the simple graph (self-loop-only) get coreness 0."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGE_SQL}),",
+        "und AS (SELECT DISTINCT least(src, dst) AS lo,"
+        " greatest(src, dst) AS hi FROM edges WHERE src <> dst),",
+        "sym AS MATERIALIZED (SELECT lo AS src, hi AS dst FROM und"
+        " UNION ALL SELECT hi, lo FROM und),",
+        "verts AS (SELECT DISTINCT src AS id FROM edges"
+        " UNION SELECT DISTINCT dst FROM edges),",
+        "c0 AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS c"
+        " FROM sym GROUP BY src)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+            g{r} AS (SELECT e.dst, x.c, count(*)::BIGINT AS n
+                     FROM sym e JOIN c{r - 1} x ON e.src = x.id
+                     GROUP BY e.dst, x.c),
+            c{r} AS MATERIALIZED (
+                SELECT dst AS id, CAST(max(least(c, cum)) AS BIGINT) AS c
+                FROM (SELECT dst, c,
+                             sum(n) OVER (PARTITION BY dst
+                                          ORDER BY c DESC) AS cum
+                      FROM g{r})
+                GROUP BY dst)""")
+    parts.append(f"""
+        SELECT v.id, coalesce(f.c, 0)::BIGINT AS coreness
+        FROM verts v LEFT JOIN c{rounds} f ON v.id = f.id""")
+    return "".join(parts)
+
+
 def _walks_unrolled_sql(steps: int) -> str:
     """Generate the unrolled DuckDB walk replay: per step, every live
     walker picks the out-neighbor minimizing the md5-keyed ordering
@@ -2378,6 +2435,8 @@ def oracle_sql() -> dict[str, str]:
         "sssp_directed": _sssp_unrolled_sql(
             SSSP_SOURCE, SSSP_ORACLE_ROUNDS + 15, directed=True),
         "kcore": _kcore_unrolled_sql(KCORE_K, KCORE_ORACLE_ROUNDS),
+        "core_decomposition": _coreness_unrolled_sql(
+            CORENESS_ORACLE_ROUNDS),
         "link_prediction": f"""
             {edge_cte},
             und AS (SELECT DISTINCT least(src, dst) AS lo,

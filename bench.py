@@ -106,6 +106,9 @@ def main() -> None:
                   ((F.col("src") + F.col("dst")) % 7 + 1).cast("double")),
               [1]).count())
     timed("kcore_40", lambda: k_core(g.edges, 40).count())
+    from pagerank_spark.operators.structure import core_decomposition
+    timed("core_decomposition",
+          lambda: core_decomposition(g.edges).count())
     timed("scc",
           lambda: strongly_connected_components(g.edges, n=g.n).count())
     timed("clustering_coeff",

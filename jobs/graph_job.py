@@ -33,7 +33,7 @@ def main() -> None:
     p.add_argument("--edges", required=True, help="parquet edge table (src,dst)")
     p.add_argument("--algos", default="cc,lpa,triangles",
                    help="comma list: cc,lpa,triangles,bfs,sssp,hits,"
-                        "katz,kcore,ppr,scc,wpr,lcc,degdist,linkpred,"
+                        "katz,kcore,coreness,ppr,scc,wpr,lcc,degdist,linkpred,"
                         "harmonic,walks,condense,ktruss,diameter,"
                         "eigen,closeness,bipartite,mis,levels,"
                         "betweenness")
@@ -63,7 +63,8 @@ def main() -> None:
     from pagerank_spark import graph
     from pagerank_spark.operators import (
         bfs_depths, clustering_coefficients, connected_components,
-        degree_distribution, hits, k_core, katz_centrality,
+        core_decomposition, degree_distribution, hits, k_core,
+        katz_centrality,
         label_propagation, personalized_pagerank, shortest_paths,
         strongly_connected_components)
     from pagerank_spark.operators.triangles import triangles
@@ -91,7 +92,8 @@ def main() -> None:
 
     algos = {a.strip() for a in args.algos.split(",") if a.strip()}
     unknown = algos - {"cc", "lpa", "triangles", "bfs", "sssp", "hits",
-                       "katz", "kcore", "ppr", "scc", "wpr", "lcc", "degdist",
+                       "katz", "kcore", "coreness", "ppr", "scc", "wpr", "lcc",
+                       "degdist",
                        "linkpred", "harmonic", "walks", "condense", "ktruss",
                        "diameter", "eigen", "closeness", "bipartite", "mis",
                        "levels", "betweenness", "neighborhood"}
@@ -138,6 +140,13 @@ def main() -> None:
     if "kcore" in algos:
         run("kcore", lambda: {"k": args.k,
                               "survivors": k_core(g.edges, args.k).count()})
+    if "coreness" in algos:
+        def _coreness():
+            cd = core_decomposition(g.edges)
+            agg = cd.agg(F.max("coreness").alias("degeneracy"),
+                         F.count(F.lit(1)).alias("n")).first()
+            return {"degeneracy": agg["degeneracy"], "vertices": agg["n"]}
+        run("coreness", _coreness)
     if "ppr" in algos:
         def _ppr():
             r = personalized_pagerank(g, [args.source],

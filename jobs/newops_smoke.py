@@ -90,6 +90,11 @@ def main() -> None:
             dense, 3).agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum("sum_rho").alias("sum_rho")).first().asDict())
+        from pagerank_spark.operators.structure import core_decomposition
+        timed("core_decomposition_dense", lambda: core_decomposition(
+            dense).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("coreness").alias("degeneracy")).first().asDict())
 
     if wants("_sparse"):
         sparse_path = "/tmp/newops_sparse.parquet"

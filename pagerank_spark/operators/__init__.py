@@ -12,6 +12,7 @@ from pagerank_spark.operators.scc import strongly_connected_components
 from pagerank_spark.operators.sssp import shortest_paths
 from pagerank_spark.operators.structure import (
     clustering_coefficients,
+    core_decomposition,
     degree_assortativity,
     degree_distribution,
     k_core,
@@ -36,6 +37,7 @@ __all__ = [
     "shortest_paths",
     "strongly_connected_components",
     "clustering_coefficients",
+    "core_decomposition",
     "k_core",
     "degree_distribution",
     "degree_assortativity",

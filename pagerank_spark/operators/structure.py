@@ -143,6 +143,99 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 1000,
     return keep.select("id")
 
 
+def core_decomposition(edges: DataFrame, max_rounds: int = 200,
+                       checkpoint: CheckpointManager | None = None,
+                       checkpoint_interval: int = 8) -> DataFrame:
+    """(id, coreness) for EVERY vertex of ``edges`` — the full k-core
+    decomposition (coreness(v) = largest k with v in the k-core; the
+    graph's degeneracy is ``max(coreness)``).
+
+    Not in the reference engine (fixed-function PageRank,
+    ``/root/reference/pagerank/src/lib/pagerank.cpp``).  Instead of
+    running the :func:`k_core` peel once per k (degeneracy-many full
+    peels), this uses the locality theorem of distributed coreness
+    (Montresor, De Pellegrini & Miorandi 2011; Lü et al. 2016):
+    starting from c_0(v) = degree(v), iterating
+
+        c_{t+1}(v) = h-index of {c_t(u) : u adjacent to v}
+
+    converges componentwise-monotonically DOWN to coreness(v), so one
+    scalar ``sum(c)`` per round is a complete convergence test
+    (stationary sum <=> no component changed).
+
+    Scale shape per round: one |2E| gather join carrying a single
+    BIGINT, then ``groupBy(dst, c)`` (map-side combined — a hub's
+    D edge rows collapse to its <= |{distinct neighbor values}|
+    rows BEFORE any per-vertex ordering), a per-vertex window over
+    those collapsed rows computing h = max(min(c, #neighbors with
+    value >= c)), and a max agg.  No per-row Python, no full-degree
+    sort on any single task.  Lineage is truncated on the shared
+    CheckpointManager cadence exactly as in :func:`k_core`.
+
+    Vertices absent from the simple undirected graph (self-loop-only)
+    get coreness 0, keeping the output domain = vertices(edges).
+    """
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    if checkpoint is None:
+        import tempfile
+
+        checkpoint = CheckpointManager(
+            spark, tempfile.mkdtemp(prefix="coreness_ckpt_"),
+            interval=checkpoint_interval)
+
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    und = _simple_undirected(edges).persist()
+    cur = (
+        und.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    prev_total = cur.agg(F.sum("c")).first()[0] or 0
+    w = Window.partitionBy("dst").orderBy(F.col("c").desc())
+    for rnd in range(1, max_rounds + 1):
+        grouped = (
+            und.join(cur.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst", "c")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        nxt = (
+            grouped
+            .select("dst", F.least(F.col("c"), F.sum("n").over(w))
+                    .alias("x"))
+            .groupBy("dst")
+            .agg(F.max("x").alias("c"))
+            .select(F.col("dst").alias("id"), "c")
+        )
+        if checkpoint.should_checkpoint(rnd):
+            nxt = checkpoint.write_state(nxt, rnd).persist()
+        else:
+            nxt = nxt.persist()
+        total = nxt.agg(F.sum("c")).first()[0] or 0
+        cur.unpersist()
+        cur = nxt
+        if total == prev_total:
+            break
+        prev_total = total
+        if checkpoint.should_checkpoint(rnd):
+            checkpoint.write_metrics(rnd, {"sum_coreness": float(total)})
+    out = (
+        verts.join(cur, "id", "left")
+        .select("id",
+                F.coalesce(F.col("c"), F.lit(0)).cast("bigint")
+                .alias("coreness"))
+        .localCheckpoint(eager=True)  # |V| rows; lets the caches go
+    )
+    cur.unpersist()
+    und.unpersist()
+    return out
+
+
 def degree_distribution(edges: DataFrame) -> DataFrame:
     """(out_deg, n_vertices) — how many vertices have each out-degree,
     over the deduped directed edge table, including the zero bucket

@@ -31,13 +31,15 @@ def _run(script, *args):
 def test_graph_job_end_to_end(spark, tmp_path):
     path, edges = _stage_edges(spark, tmp_path)
     got = _run("graph_job.py", "--edges", path, "--master", "local[4]",
-               "--algos", "cc,bfs,katz,kcore,degdist", "--source", "0",
+               "--algos", "cc,bfs,katz,kcore,coreness,degdist",
+               "--source", "0",
                "--k", "2")
     assert got["n_edges"] == edges.distinct().count()
     assert got["algos"]["cc"]["components"] >= 1
     assert got["algos"]["bfs"]["reached"] >= 1
     assert got["algos"]["katz"]["top_katz"] > 1.0
     assert got["algos"]["kcore"]["k"] == 2
+    assert got["algos"]["coreness"]["degeneracy"] >= 1
     assert got["algos"]["degdist"]["buckets"] >= 1
 
 

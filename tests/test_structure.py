@@ -394,3 +394,78 @@ def test_kcore_deep_cascade_durable_cadence(spark, tmp_path):
     committed = ck.committed_iterations()
     assert len(committed) >= 6 and committed[0] == 8
     assert ck.read_metric(committed[-1], "survivors") is not None
+
+
+# ------------------------------------------------- core decomposition
+
+def _brute_coreness(edges):
+    """Classic sequential min-degree peel (Batagelj-Zaversnik order)."""
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    alive = {v: set(ns) for v, ns in adj.items()}
+    deg = {v: len(ns) for v, ns in alive.items()}
+    out: dict[int, int] = {}
+    k = 0
+    while alive:
+        v = min(alive, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        out[v] = k
+        for u in alive[v]:
+            alive[u].discard(v)
+            deg[u] -= 1
+        del alive[v], deg[v]
+    allv = {s for s, _ in edges} | {d for _, d in edges}
+    return {v: out.get(v, 0) for v in allv}
+
+
+def test_coreness_two_cliques_and_chain(spark):
+    from pagerank_spark.operators.structure import core_decomposition
+
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    k3 = [(10, 11), (11, 12), (12, 10)]
+    pendant = [(3, 20), (20, 21)]  # dangling path off K4
+    edges = k4 + k3 + pendant
+    got = {r["id"]: r["coreness"]
+           for r in core_decomposition(edges_df(spark, edges)).collect()}
+    assert got == _brute_coreness(edges)
+    assert all(got[v] == 3 for v in range(4))      # K4 coreness 3
+    assert all(got[v] == 2 for v in (10, 11, 12))  # K3 coreness 2
+    assert got[20] == got[21] == 1                 # pendant path peels at 1
+
+
+def test_coreness_random_matches_brute_peel(spark):
+    from pagerank_spark.operators.structure import core_decomposition
+
+    rng = random.Random(19)
+    edges = list({(rng.randrange(50), rng.randrange(50))
+                  for _ in range(170)})
+    got = {r["id"]: r["coreness"]
+           for r in core_decomposition(edges_df(spark, edges)).collect()}
+    assert got == _brute_coreness(edges)
+
+
+def test_coreness_slice_equals_k_core(spark):
+    from pagerank_spark.operators.structure import core_decomposition, k_core
+
+    rng = random.Random(23)
+    edges = list({(rng.randrange(40), rng.randrange(40))
+                  for _ in range(140)})
+    df = edges_df(spark, edges)
+    cd = {r["id"]: r["coreness"] for r in core_decomposition(df).collect()}
+    for k in (2, 3, max(cd.values())):
+        want = sorted(v for v, c in cd.items() if c >= k)
+        got = sorted(r["id"] for r in k_core(df, k).collect())
+        assert got == want, k
+
+
+def test_coreness_self_loop_only_vertex_is_zero(spark):
+    from pagerank_spark.operators.structure import core_decomposition
+
+    edges = [(0, 1), (1, 2), (2, 0), (9, 9)]
+    got = {r["id"]: r["coreness"]
+           for r in core_decomposition(edges_df(spark, edges)).collect()}
+    assert got == {0: 2, 1: 2, 2: 2, 9: 0}
