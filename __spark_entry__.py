@@ -71,6 +71,11 @@ KCORE_ORACLE_ROUNDS = 20
 # fixpoint, so extra rounds past convergence are exact no-ops
 # (probed: 15 rounds to fixpoint at sf0.01, 2 at sf0.001).
 CORENESS_ORACLE_ROUNDS = 18
+# Unrolled Borůvka rounds in the msf oracle; components at least halve
+# per round so log2(V) bounds the true count (probed: 3 rounds at
+# sf0.01, 2 at sf0.001) and rounds past the last cross edge select
+# nothing — exact no-ops.
+MSF_ORACLE_ROUNDS = 5
 BFS_SOURCE, BFS_MAX_DEPTH = 1, 50  # bfs_depths source + hop cap, both engines
 DIAM_SOURCE = 1  # diameter_2sweep start vertex, both engines
 SSSP_SOURCE = 1  # sssp source vertex, both engines
@@ -370,6 +375,21 @@ def q_sssp(spark, sf_dir):
         ((F.col("src") + F.col("dst")) % 7 + 1).cast("double").alias("weight"))
     out = shortest_paths(ew, [SSSP_SOURCE])
     return out.select("id", F.round("dist", ROUND).alias("dist"))
+
+
+def q_msf(spark, sf_dir):
+    """Minimum spanning forest (distributed Borůvka — lightest
+    incident cross edge per component, contract with
+    large-star/small-star CC, <= log2(V) rounds) under the
+    deterministic weight (src+dst)%7+1.  The strict (weight, src,
+    dst) edge order makes the forest UNIQUE, so the unrolled-Borůvka
+    oracle matches row for row without mirroring physical choices."""
+    from pagerank_spark.operators.msf import minimum_spanning_forest
+
+    ew = _edges(spark, sf_dir).select(
+        "src", "dst",
+        ((F.col("src") + F.col("dst")) % 7 + 1).cast("double").alias("weight"))
+    return minimum_spanning_forest(ew)
 
 
 def q_sssp_directed(spark, sf_dir):
@@ -1212,9 +1232,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "bfs_depths": q_bfs_depths,
         "sssp": q_sssp,
+        "msf": q_msf,
         "label_propagation_k2": q_label_propagation_k2,
         "lpa_modularity": q_lpa_modularity,
-        "lpa_conductance": q_lpa_conductance,
         "triangle_count": q_triangle_count,
         "hits_k5": q_hits_k5,
         "katz_k5": q_katz_k5,
@@ -1248,12 +1268,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "media_metadata": q_media_metadata,
         "video_frames": q_video_frames,
-        "repo_file_shas": q_repo_file_shas,
         "repo_edges": q_repo_edges,
-        "repo_pagerank_k3": q_repo_pagerank_k3,
         "events_sessions": q_events_sessions,
         # ---- secondary faces (pytest-checked; outside the driver's
         # ---- 50-query window by design — variants of checked ops)
+        "lpa_conductance": q_lpa_conductance,  # same LPA community
+        #   table as the in-window lpa_modularity, second quality metric
+        "repo_pagerank_k3": q_repo_pagerank_k3,  # composition of two
+        #   in-window capabilities (repo_edges extraction + pagerank)
+        "repo_file_shas": q_repo_file_shas,  # digest face of the
+        #   extraction pipeline the driver checks via repo_edges
         "events_decayed": q_events_decayed,  # windowed-events variant;
         #   capability driver-checked via events_sessions (+
         #   events_hourly below)
@@ -1870,6 +1894,62 @@ def _kcore_unrolled_sql(k: int, rounds: int) -> str:
     return "".join(parts)
 
 
+def _msf_unrolled_sql(rounds: int) -> str:
+    """Generate the unrolled DuckDB Borůvka chain mirroring
+    ``operators/msf.minimum_spanning_forest`` under the deterministic
+    (src+dst)%7+1 weight: per round each component picks its lightest
+    incident cross edge under the STRICT (w, lo, hi) order
+    (row_number here, min_by in the engine — identical because the
+    order is strict), and contraction is a recursive-CTE closure over
+    the selected component edges (the engine uses large-star/
+    small-star CC — identical because both label by min reachable
+    component id).  The forest is UNIQUE under the strict order, so
+    any correct algorithm yields the same edge set; rounds past the
+    last cross edge are no-ops (empty selections)."""
+    parts = [
+        f"WITH RECURSIVE edges AS MATERIALIZED ({_EDGE_SQL}),",
+        "canon AS MATERIALIZED (",
+        "    SELECT least(src, dst) AS lo, greatest(src, dst) AS hi,",
+        "           min(CAST((src + dst) % 7 + 1 AS DOUBLE)) AS w",
+        "    FROM edges WHERE src <> dst GROUP BY 1, 2),",
+        "comp0 AS MATERIALIZED (",
+        "    SELECT id, id AS comp FROM (SELECT lo AS id FROM canon",
+        "    UNION SELECT hi FROM canon))",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+            lab{r} AS (SELECT c.lo, c.hi, c.w,
+                              p1.comp AS clo, p2.comp AS chi
+                       FROM canon c
+                       JOIN comp{r - 1} p1 ON c.lo = p1.id
+                       JOIN comp{r - 1} p2 ON c.hi = p2.id
+                       WHERE p1.comp <> p2.comp),
+            sel{r} AS MATERIALIZED (
+                SELECT DISTINCT lo, hi, w, clo, chi FROM (
+                    SELECT b.*, row_number() OVER (
+                        PARTITION BY cmp ORDER BY w, lo, hi) AS rn
+                    FROM (SELECT clo AS cmp, * FROM lab{r}
+                          UNION ALL SELECT chi AS cmp, * FROM lab{r}) b)
+                WHERE rn = 1),
+            symsel{r} AS (SELECT clo AS a, chi AS b FROM sel{r}
+                          UNION SELECT chi, clo FROM sel{r}),
+            reach{r}(a, b) AS (
+                SELECT a, b FROM symsel{r}
+                UNION
+                SELECT x.a, s.b FROM reach{r} x
+                JOIN symsel{r} s ON x.b = s.a WHERE s.b <> x.a),
+            newlab{r} AS (SELECT a, least(a, min(b)) AS nc
+                          FROM reach{r} GROUP BY a),
+            comp{r} AS MATERIALIZED (
+                SELECT c.id, coalesce(n.nc, c.comp) AS comp
+                FROM comp{r - 1} c LEFT JOIN newlab{r} n ON c.comp = n.a)""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT lo AS src, hi AS dst, w AS weight FROM sel{r}"
+        for r in range(1, rounds + 1))
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
 def _coreness_unrolled_sql(rounds: int) -> str:
     """Generate the unrolled DuckDB h-index chain mirroring
     ``structure.core_decomposition``: c0 = degree over the simple
@@ -2429,6 +2509,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY v.id
         """,
         "sssp": _sssp_unrolled_sql(SSSP_SOURCE, SSSP_ORACLE_ROUNDS),
+        "msf": _msf_unrolled_sql(MSF_ORACLE_ROUNDS),
         # directed reachability can need longer hop chains than the
         # symmetrized walk; rounds stay a safe multiple of the engine's
         # observed fixpoint depth (monotone, so overshoot is free).

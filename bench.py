@@ -109,6 +109,11 @@ def main() -> None:
     from pagerank_spark.operators.structure import core_decomposition
     timed("core_decomposition",
           lambda: core_decomposition(g.edges).count())
+    from pagerank_spark.operators.msf import minimum_spanning_forest
+    timed("msf", lambda: minimum_spanning_forest(
+        g.edges.withColumn(
+            "weight",
+            ((F.col("src") + F.col("dst")) % 7 + 1).cast("double"))).count())
     timed("scc",
           lambda: strongly_connected_components(g.edges, n=g.n).count())
     timed("clustering_coeff",

@@ -96,7 +96,7 @@ def main() -> None:
                        "degdist",
                        "linkpred", "harmonic", "walks", "condense", "ktruss",
                        "diameter", "eigen", "closeness", "bipartite", "mis",
-                       "levels", "betweenness", "neighborhood"}
+                       "levels", "betweenness", "neighborhood", "coreness", "msf"}
     if unknown:
         raise SystemExit(f"unknown algos: {sorted(unknown)}")
 
@@ -140,6 +140,14 @@ def main() -> None:
     if "kcore" in algos:
         run("kcore", lambda: {"k": args.k,
                               "survivors": k_core(g.edges, args.k).count()})
+    if "msf" in algos:
+        def _msf():
+            from pagerank_spark.operators.msf import minimum_spanning_forest
+            f = minimum_spanning_forest(weighted_edges())
+            agg = f.agg(F.count(F.lit(1)).alias("n"),
+                        F.sum("weight").alias("total")).first()
+            return {"forest_edges": agg["n"], "total_weight": agg["total"]}
+        run("msf", _msf)
     if "coreness" in algos:
         def _coreness():
             cd = core_decomposition(g.edges)

@@ -8,6 +8,7 @@ from pagerank_spark.operators.bfs import bfs_depths
 from pagerank_spark.operators.betweenness import betweenness
 from pagerank_spark.operators.hits import hits
 from pagerank_spark.operators.katz import katz_centrality, KatzResult
+from pagerank_spark.operators.msf import minimum_spanning_forest
 from pagerank_spark.operators.scc import strongly_connected_components
 from pagerank_spark.operators.sssp import shortest_paths
 from pagerank_spark.operators.structure import (
@@ -39,6 +40,7 @@ __all__ = [
     "clustering_coefficients",
     "core_decomposition",
     "k_core",
+    "minimum_spanning_forest",
     "degree_distribution",
     "degree_assortativity",
 ]
