@@ -1028,6 +1028,27 @@ def q_ann_ivf_topk(spark, sf_dir):
                       F.col("rank").cast("bigint").alias("rank"))
 
 
+def q_embedding_clusters(spark, sf_dir):
+    """K-means document clustering over the embedding column — the
+    IVF quantizer's converged assignment exposed as an operator
+    (topic bucketing / mixture analysis); oracle unrolls the same
+    Lloyd rounds and takes the final argmin label per vector."""
+    from pagerank_spark.pipeline import similarity
+
+    return similarity.ivf_assignments(_embs(spark, sf_dir),
+                                      n_centroids=IVF_CENTROIDS,
+                                      n_iters=IVF_ITERS)
+
+
+def q_doc_unigram_logprob(spark, sf_dir):
+    """Corpus-trained unigram LM scoring (CCNet-style perplexity
+    proxy for corpus quality ranking); integer micro-nat
+    quantization makes the per-doc sum exact in both engines."""
+    from pagerank_spark.pipeline import textstats
+
+    return textstats.unigram_logprob(_docs(spark, sf_dir))
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     # Oracle-checked: the hyperplane signs are md5-derived
     # (similarity._plane_signs), so the bucketing — and therefore the
@@ -1323,6 +1344,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "assortativity": q_assortativity,
         "top_central_per_label": q_top_central_per_label,
+        "embedding_clusters": q_embedding_clusters,  # clustering face of
+        #   the Lloyd quantizer the driver checks via ann_ivf_topk
+        "doc_unigram_logprob": q_doc_unigram_logprob,  # LM-score face of
+        #   the token pipeline the driver checks via doc_token_stats
     }
 
 
@@ -1766,15 +1791,15 @@ def _eigen_unrolled_sql(k: int) -> str:
     return "".join(parts)
 
 
-def _ivf_unrolled_sql(n_centroids: int, n_iters: int, n_probes: int,
-                      topk: int) -> str:
-    """Generate the unrolled DuckDB IVF chain mirroring
-    ``similarity.ivf_topk``: seed centroids = embeddings of the
-    n_centroids smallest vec_ids; per Lloyd round argmin-assign on
-    round(L2^2, 6) with cluster tie-break and recompute round(avg, 9)
-    means (clusters losing every member keep the previous centroid);
-    final assignment with the converged centroids, n_probes nearest
-    cells per query, cosine + rank over the probed candidates."""
+def _ivf_lloyd_sql_parts(n_centroids: int, n_iters: int) -> list:
+    """Shared DuckDB Lloyd chain mirroring ``similarity.ivf_centroids``:
+    seed centroids = embeddings of the n_centroids smallest vec_ids;
+    per round argmin-assign on round(L2^2, 6) with cluster tie-break
+    and recompute round(avg, 9) means (clusters losing every member
+    keep the previous centroid).  Ends with ``df`` = quantized
+    distances of every vector to every CONVERGED centroid — the tail
+    both the ANN oracle (probe + rank) and the clustering oracle
+    (argmin label) build on."""
     parts = [
         "WITH emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e"
         " FROM embeddings),",
@@ -1807,10 +1832,22 @@ def _ivf_unrolled_sql(n_centroids: int, n_iters: int, n_probes: int,
                      WHERE p.cluster NOT IN (
                          SELECT DISTINCT cluster FROM a{r}))""")
     parts.append(f""",
-        df AS (SELECT x.vec_id, c.cluster,
+        df AS MATERIALIZED (SELECT x.vec_id, c.cluster,
                       round(sum((x.v - c.v) * (x.v - c.v)), 6) AS d
                FROM ex x JOIN c{n_iters} c USING (pos)
-               GROUP BY x.vec_id, c.cluster),
+               GROUP BY x.vec_id, c.cluster)""")
+    return parts
+
+
+def _ivf_unrolled_sql(n_centroids: int, n_iters: int, n_probes: int,
+                      topk: int) -> str:
+    """Generate the unrolled DuckDB IVF ANN chain mirroring
+    ``similarity.ivf_topk``: the shared Lloyd quantizer
+    (:func:`_ivf_lloyd_sql_parts`), final assignment with the
+    converged centroids, n_probes nearest cells per query, cosine +
+    rank over the probed candidates."""
+    parts = _ivf_lloyd_sql_parts(n_centroids, n_iters)
+    parts.append(f""",
         af AS MATERIALIZED (SELECT vec_id, cluster FROM (
                SELECT vec_id, cluster, row_number() OVER (
                    PARTITION BY vec_id ORDER BY d, cluster) AS rn
@@ -1835,6 +1872,20 @@ def _ivf_unrolled_sql(n_centroids: int, n_iters: int, n_probes: int,
                    FROM scored)
         SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank
         FROM ranked WHERE rank <= {topk}""")
+    return "".join(parts)
+
+
+def _ivf_clusters_sql(n_centroids: int, n_iters: int) -> str:
+    """Generate the DuckDB clustering oracle mirroring
+    ``similarity.ivf_assignments``: the shared Lloyd quantizer, then
+    the converged argmin label (+ quantized distance) per vector."""
+    parts = _ivf_lloyd_sql_parts(n_centroids, n_iters)
+    parts.append(""",
+        af AS (SELECT vec_id, cluster, d FROM (
+               SELECT vec_id, cluster, d, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY d, cluster) AS rn
+               FROM df) WHERE rn = 1)
+        SELECT vec_id, cluster::BIGINT AS cluster, d AS dist2 FROM af""")
     return "".join(parts)
 
 
@@ -3383,5 +3434,29 @@ def oracle_sql() -> dict[str, str]:
                    strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS "end",
                    round(sum(value), {ROUND}) AS sum_value
             FROM sess GROUP BY user_id, session_no
+        """,
+        "embedding_clusters": _ivf_clusters_sql(IVF_CENTROIDS, IVF_ITERS),
+        "doc_unigram_logprob": """
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id, tok FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(
+                               trim(lower(text)), '\\s+')) AS tok
+                    FROM documents) WHERE tok <> ''),
+            vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+            tot AS (SELECT sum(c) AS n FROM vocab),
+            -- ln p quantized to integer micro-nats before the sum:
+            -- integer addition is exact, so summation order cannot
+            -- drift between engines (textstats.LP_SCALE contract)
+            scored AS (SELECT t.doc_id,
+                              round(ln(v.c / tot.n) * 1000000)::BIGINT AS lp
+                       FROM toks t JOIN vocab v USING (tok) CROSS JOIN tot),
+            agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                           sum(lp) AS s
+                    FROM scored GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+                   round(a.s / 1000000.0 / a.n_tokens, 6) AS avg_logprob
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
     }

@@ -95,6 +95,13 @@ def main() -> None:
             dense).agg(
                 F.count(F.lit(1)).alias("n"),
                 F.max("coreness").alias("degeneracy")).first().asDict())
+        from pagerank_spark.operators.msf import minimum_spanning_forest
+        timed("msf_dense", lambda: minimum_spanning_forest(
+            dense.withColumn(
+                "weight",
+                ((F.col("src") + F.col("dst")) % 7 + 1).cast("double"))
+        ).agg(F.count(F.lit(1)).alias("forest_edges"),
+              F.sum("weight").alias("total_w")).first().asDict())
 
     if wants("_sparse"):
         sparse_path = "/tmp/newops_sparse.parquet"

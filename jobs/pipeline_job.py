@@ -27,7 +27,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ALL_STAGES = ("exact", "minhash", "jaccard", "simhash", "textstats", "ann")
+ALL_STAGES = ("exact", "minhash", "jaccard", "simhash", "textstats",
+              "lmscore", "ann", "cluster")
 
 
 def main() -> None:
@@ -50,6 +51,8 @@ def main() -> None:
                         "index (every embedding is a query here, so an "
                         "uncapped dense bucket goes quadratic)")
     p.add_argument("--topk", type=int, default=10)
+    p.add_argument("--n-clusters", type=int, default=8,
+                   help="Lloyd cells for the cluster stage")
     p.add_argument("--out", default=None, help="write summary JSON here")
     args = p.parse_args()
     stages = [s.strip() for s in args.stages.split(",") if s.strip()]
@@ -92,16 +95,24 @@ def main() -> None:
         run("quality", textstats.quality_scores(docs))
         run("language", textstats.language_id(docs))
         run("fingerprints", textstats.fingerprints(docs))
-    if "ann" in stages:
+    if "lmscore" in stages:
+        run("unigram_logprob", textstats.unigram_logprob(docs))
+    emb = None
+    if "ann" in stages or "cluster" in stages:
         if not args.embeddings:
-            raise SystemExit("--embeddings required for the ann stage")
+            raise SystemExit("--embeddings required for the ann/cluster "
+                             "stages")
         emb = spark.read.parquet(args.embeddings).select(
             "vec_id",
             F.col("embedding").cast("array<double>").alias("embedding"))
+    if "ann" in stages:
         queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
         run("ann_topk", similarity.lsh_topk(
             emb, queries, k=args.topk, vectorized=True,
             max_bucket=args.ann_max_bucket))
+    if "cluster" in stages:
+        run("embedding_clusters", similarity.ivf_assignments(
+            emb, n_centroids=args.n_clusters))
 
     summary = {"metric": "pipeline_job", "stages": timings, "rows": rows,
                "total_sec": round(sum(timings.values()), 3)}

@@ -292,6 +292,34 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int = 8,
     return cents
 
 
+def ivf_assignments(embeddings: DataFrame, n_centroids: int = 8,
+                    n_iters: int = 3) -> DataFrame:
+    """(vec_id, cluster, dist2) — the document-clustering face of the
+    IVF index: every vector labeled with its converged Lloyd cell and
+    the quantized squared distance to that centroid.
+
+    This is exactly the index side of :func:`ivf_topk` exposed as an
+    operator (k-means document clustering over the embedding column —
+    topic bucketing, mixture analysis, per-cluster sampling).  The
+    assignment is one narrow JVM expression over the
+    broadcast-as-literals centroids: at 1e9 vectors it is an
+    embarrassingly parallel scan with NO shuffle; only the Lloyd
+    training loop aggregates (k x dims cells per round, constant
+    size).  Same determinism contract as the index (IVF_DIST_ROUND
+    quantized argmin, ties to the smallest cluster id) so the DuckDB
+    oracle reproduces every label.
+    """
+    cents = ivf_centroids(embeddings, n_centroids, n_iters)
+    if not cents:
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id BIGINT, cluster BIGINT, dist2 DOUBLE")
+    best = F.least(*_dist_structs(F.col("embedding"), cents))
+    return embeddings.select(
+        "vec_id",
+        best["c"].cast("long").alias("cluster"),
+        best["d"].alias("dist2"))
+
+
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 8, n_iters: int = 3,
              n_probes: int = 2) -> DataFrame:

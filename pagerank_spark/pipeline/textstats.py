@@ -114,3 +114,53 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.regexp_replace(F.regexp_replace(F.lower("text"), r"[^a-z0-9]+", " "),
                          r" +", " "))
     return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+# ln p quantized to integer micro-nats BEFORE the per-document sum:
+# integer addition is exact and order-independent, so Spark and the
+# DuckDB oracle cannot drift however their partial sums associate
+# (a strictly stronger contract than tfidf.W_ROUND's double rounding;
+# the residual risk is only the shared libm-ulp-at-a-rounding-boundary
+# caveat documented there).
+LP_SCALE = 1_000_000
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob) — corpus-trained unigram
+    language-model score, the classic cheap perplexity proxy used to
+    quality-rank web text for LLM corpora (CCNet-style: Wenzek et al.,
+    LREC'20, with the KenLM swapped for the corpus's own unigram MLE
+    so the operator stays deterministic and SQL-expressible).
+
+    Train: one explode + hash aggregation builds token -> count over
+    the WHOLE corpus (the model).  Score: every token joins its corpus
+    probability p(t) = count/total, ln p(t) is quantized to integer
+    micro-nats, and the per-document mean is the score (higher =
+    more typical text; rare-token-heavy documents rank low).
+
+    Scale: the vocabulary table is Zipf-bounded (tens of millions of
+    rows at 100 TB, far below the corpus itself) and the score join is
+    a shuffle hash join keyed on the token with map-side partial sums;
+    nothing is quadratic.  Documents with no tokens keep n_tokens = 0
+    and a NULL score via the final left join, so the output domain is
+    always the full doc_id set.
+    """
+    toks = (docs.select("doc_id", F.explode(_tokens(F.col("text")))
+                        .alias("tok"))
+            .where(F.col("tok") != ""))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    lp = (F.round(F.log(F.col("c") / F.col("n")) * F.lit(LP_SCALE))
+          .cast("long"))
+    scored = (toks.join(vocab, "tok")
+              .crossJoin(F.broadcast(total))
+              .select("doc_id", lp.alias("lp")))
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("lp").alias("s"))
+    return (docs.select("doc_id").join(agg, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                F.round(F.col("s") / F.lit(float(LP_SCALE))
+                        / F.col("n_tokens"), 6).alias("avg_logprob")))

@@ -742,3 +742,53 @@ def test_malformed_real_format_payloads_fall_back_or_raise():
         multimodal._decode(trunc, "image", require_real=True)
     assert np.array_equal(multimodal._decode(trunc, "image"),
                           multimodal._fake_decode(trunc))
+
+
+def test_ivf_assignments_cover_domain_and_axes(spark):
+    # assignments cover every vector exactly once, labels are valid
+    # cells, and the axis-separated toy corpus lands axis-pure
+    from pagerank_spark.pipeline.similarity import ivf_assignments
+
+    emb = _toy_embs(spark)
+    rows = ivf_assignments(emb, n_centroids=3, n_iters=2).collect()
+    ids = [r["vec_id"] for r in rows]
+    assert sorted(ids) == sorted(
+        r["vec_id"] for r in emb.select("vec_id").collect())
+    assert all(0 <= r["cluster"] < 3 for r in rows)
+    assert all(r["dist2"] >= 0.0 for r in rows)
+    by_axis = {}
+    for r in rows:
+        by_axis.setdefault(r["vec_id"] % 3, set()).add(r["cluster"])
+    assert all(len(s) == 1 for s in by_axis.values())
+    assert len(set().union(*by_axis.values())) == 3
+
+
+def test_ivf_assignments_empty(spark):
+    from pagerank_spark.pipeline.similarity import ivf_assignments
+
+    empty = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    out = ivf_assignments(empty, n_centroids=3, n_iters=2)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "cluster", "dist2"]
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "   ")],
+        "doc_id BIGINT, text STRING")
+    rows = {r["doc_id"]: r
+            for r in textstats.unigram_logprob(docs).collect()}
+    # corpus counts: a=2 b=2 c=1, total 5
+    micro = lambda p: round(math.log(p) * textstats.LP_SCALE)
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["avg_logprob"] == round(
+        3 * micro(0.4) / textstats.LP_SCALE / 3, 6)
+    assert rows[2]["n_tokens"] == 2
+    assert rows[2]["avg_logprob"] == round(
+        (micro(0.4) + micro(0.2)) / textstats.LP_SCALE / 2, 6)
+    # whitespace-only doc stays in the domain with no score
+    assert rows[3]["n_tokens"] == 0 and rows[3]["avg_logprob"] is None
+    # the rare-token doc ranks below the common-token doc
+    assert rows[2]["avg_logprob"] < rows[1]["avg_logprob"]
