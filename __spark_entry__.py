@@ -1231,6 +1231,66 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_props_agg(spark, sf_dir):
+    """Semi-structured JSON extraction over the events ``props``
+    column (the WARC/metadata-parsing face of a web-scale ingest):
+    ``get_json_object`` evaluates the path JVM-side inside codegen —
+    no Python, no UDF — then a per-type rollup.  At 100 TB this is an
+    embarrassingly parallel scan + one small-key aggregation."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count("k").alias("n_with_k"),
+                 F.sum("k").alias("sum_k"),
+                 F.max("k").alias("max_k"),
+                 F.round(F.avg("k"), 6).alias("avg_k")))
+
+
+def q_cluster_purity(spark, sf_dir):
+    """Clustering evaluation: the Lloyd assignment joined against the
+    embeddings table's ground-truth label column — per-cluster size,
+    majority label (ties to the smallest label) and purity.  The
+    standard external quality metric for the clustering operator."""
+    from pyspark.sql import Window
+    from pagerank_spark.pipeline import similarity
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        F.col("label").cast("long").alias("label"))
+    assign = similarity.ivf_assignments(
+        emb.select("vec_id", "embedding"),
+        n_centroids=IVF_CENTROIDS, n_iters=IVF_ITERS)
+    cnt = (assign.join(emb.select("vec_id", "label"), "vec_id")
+           .groupBy("cluster", "label")
+           .agg(F.count(F.lit(1)).alias("n")))
+    tot = cnt.groupBy("cluster").agg(F.sum("n").alias("n_vectors"))
+    w = Window.partitionBy("cluster").orderBy(F.desc("n"), F.asc("label"))
+    best = cnt.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (best.join(tot, "cluster")
+            .select("cluster",
+                    F.col("n_vectors").cast("long").alias("n_vectors"),
+                    F.col("label").alias("majority_label"),
+                    F.round(F.col("n") / F.col("n_vectors"), 6)
+                    .alias("purity")))
+
+
+def q_lang_id_confusion(spark, sf_dir):
+    """Language-id evaluation: confusion counts of the marker-word
+    heuristic's prediction against the documents table's ground-truth
+    lang column (zh has no marker list, so its mass lands on 'und' —
+    the honest picture of the heuristic's coverage)."""
+    from pagerank_spark.pipeline import textstats
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    pred = textstats.language_id(docs.select("doc_id", "text"))
+    return (docs.select("doc_id", "lang").join(pred, "doc_id")
+            .groupBy("lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the per-round driver checks the FIRST 50
     # entries against their DuckDB oracles (observed cap — rounds 3/4
@@ -1348,6 +1408,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   the Lloyd quantizer the driver checks via ann_ivf_topk
         "doc_unigram_logprob": q_doc_unigram_logprob,  # LM-score face of
         #   the token pipeline the driver checks via doc_token_stats
+        "events_props_agg": q_events_props_agg,  # JSON-path extraction
+        #   face of the events scan the driver checks via events_hourly
+        "cluster_purity": q_cluster_purity,  # eval face over
+        #   embedding_clusters + the ground-truth label column
+        "lang_id_confusion": q_lang_id_confusion,  # eval face over
+        #   doc_language + the ground-truth lang column
     }
 
 
@@ -2227,7 +2293,7 @@ def oracle_sql() -> dict[str, str]:
     lang_union = " UNION ALL ".join(
         f"SELECT doc_id, '{lang}' AS lang, hits_{lang} AS hits FROM hits"
         for lang in _LANG_LISTS)
-    return {
+    out = {
         "edge_dedupe": f"{edge_cte} SELECT src, dst FROM edges",
         "out_degree": f"""
             {edge_cte}
@@ -3459,4 +3525,44 @@ def oracle_sql() -> dict[str, str]:
                    round(a.s / 1000000.0 / a.n_tokens, 6) AS avg_logprob
             FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
+        "events_props_agg": """
+            WITH k AS (SELECT event_type,
+                              CAST(json_extract_string(props, '$.k')
+                                   AS BIGINT) AS k
+                       FROM events)
+            SELECT event_type,
+                   count(*)::BIGINT AS n_events,
+                   count(k)::BIGINT AS n_with_k,
+                   sum(k)::BIGINT AS sum_k,
+                   max(k)::BIGINT AS max_k,
+                   round(sum(k) / count(k), 6) AS avg_k
+            FROM k GROUP BY event_type
+        """,
     }
+    # Composed eval-face oracles: wrap already-defined oracles as
+    # subqueries so the two stay in lockstep by construction.
+    out["cluster_purity"] = f"""
+        WITH assign AS MATERIALIZED (
+            SELECT vec_id, cluster FROM ({_ivf_clusters_sql(
+                IVF_CENTROIDS, IVF_ITERS)})),
+        cnt AS (SELECT a.cluster, e.label::BIGINT AS label, count(*) AS n
+                FROM assign a JOIN embeddings e USING (vec_id)
+                GROUP BY a.cluster, e.label),
+        tot AS (SELECT cluster, sum(n) AS n_vectors FROM cnt
+                GROUP BY cluster),
+        best AS (SELECT cluster, label AS majority_label, n FROM (
+                 SELECT cluster, label, n, row_number() OVER (
+                     PARTITION BY cluster ORDER BY n DESC, label) AS rn
+                 FROM cnt) WHERE rn = 1)
+        SELECT b.cluster, t.n_vectors::BIGINT AS n_vectors,
+               b.majority_label,
+               round(b.n / t.n_vectors, 6) AS purity
+        FROM best b JOIN tot t USING (cluster)
+    """
+    out["lang_id_confusion"] = f"""
+        WITH pred AS (SELECT doc_id, pred_lang FROM ({out['doc_language']}))
+        SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n
+        FROM documents d JOIN pred p USING (doc_id)
+        GROUP BY d.lang, p.pred_lang
+    """
+    return out
