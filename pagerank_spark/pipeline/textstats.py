@@ -105,15 +105,23 @@ def language_id(docs: DataFrame) -> DataFrame:
     )
 
 
-def fingerprints(docs: DataFrame) -> DataFrame:
-    """(doc_id, fingerprint) — md5 of the normalized text (lowercase,
-    non-alphanumerics collapsed to single spaces, trimmed).  A
-    deterministic document fingerprint: whitespace/punctuation/case
-    variants collide, genuinely different text does not."""
+def fingerprint_col(col):
+    """md5 of the normalized text (lowercase, non-alphanumerics
+    collapsed to single spaces, trimmed) as a column expression —
+    whitespace/punctuation/case variants collide, genuinely different
+    text does not.  Shared by the batch fingerprint table and the
+    streaming dedup face (streaming.drop_duplicate_docs)."""
     normalized = F.trim(
-        F.regexp_replace(F.regexp_replace(F.lower("text"), r"[^a-z0-9]+", " "),
+        F.regexp_replace(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "),
                          r" +", " "))
-    return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+    return F.md5(normalized)
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint) — deterministic document fingerprint
+    (:func:`fingerprint_col`) per document."""
+    return docs.select("doc_id",
+                       fingerprint_col(F.col("text")).alias("fingerprint"))
 
 
 # ln p quantized to integer micro-nats BEFORE the per-document sum:

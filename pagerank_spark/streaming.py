@@ -183,6 +183,47 @@ def decayed_activity_stream(events: DataFrame,
     )
 
 
+DOCS_STREAM_SCHEMA = "doc_id BIGINT, ts TIMESTAMP, text STRING"
+
+
+def read_docs_stream(spark: SparkSession, path: str,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """Tail a directory of (doc_id, ts, text) parquet files — an
+    ingest feed where ``ts`` is the arrival/crawl time."""
+    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def drop_duplicate_docs(docs: DataFrame, watermark: str = "1 hour",
+                        ts_col: str = "ts") -> DataFrame:
+    """Streaming exact dedup — the ingest-time face of
+    ``pipeline.dedup.drop_exact_duplicates``: fingerprint the
+    normalized text (``textstats.fingerprint_col``, the same digest as
+    the batch fingerprint table) and keep ONE row per fingerprint.
+
+    On a stream this is ``dropDuplicatesWithinWatermark``: state holds
+    one entry per fingerprint seen within the watermark horizon, so
+    memory is bounded by the dedup window, not the stream length —
+    the standard at-ingest dedup for a crawl pipeline (re-crawls of
+    the same page arrive within hours; cross-epoch dedup stays a
+    batch job over the fingerprint table).  On a batch DataFrame it
+    degrades to a plain ``dropDuplicates`` on the fingerprint.
+
+    Which duplicate survives is engine-chosen in both modes (first
+    arrival per micro-batch on streams, arbitrary in batch), so
+    equality tests compare the kept fingerprint SET, not row ids.
+    """
+    from pagerank_spark.pipeline.textstats import fingerprint_col
+
+    out = docs.withColumn("fingerprint", fingerprint_col(F.col("text")))
+    if out.isStreaming:
+        return (out.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(["fingerprint"]))
+    return out.dropDuplicates(["fingerprint"])
+
+
 def read_edges_stream(spark: SparkSession, path: str) -> DataFrame:
     """Tail a directory of edge parquet files (an edge log)."""
     return spark.readStream.schema(EDGES_SCHEMA).parquet(path)

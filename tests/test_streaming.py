@@ -114,3 +114,34 @@ def test_decayed_activity_stream_equals_batch(spark, tmp_path):
     # sanity bounds: every event contributes (0, 1] to its user's score
     for u, (_, n, score) in want.items():
         assert 0.0 < score <= n + 1e-9
+
+
+def test_drop_duplicate_docs_stream_equals_batch(spark, tmp_path):
+    # docs feed with duplicated texts spread across micro-batches:
+    # 30 docs cycling over 7 distinct texts (case/punct variants of
+    # the same text must also collide via the normalized fingerprint)
+    rows = []
+    for i in range(30):
+        base = f"document body number {i % 7}"
+        text = base.upper() + "!!!" if i % 3 == 0 else base
+        rows.append((i, f"2024-01-01 00:{i:02d}:00", text))
+    src = spark.createDataFrame(
+        rows, "doc_id BIGINT, ts_s STRING, text STRING").select(
+        "doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "text")
+    out = str(tmp_path / "docs_stream")
+    (src.withColumn("chunk", F.pmod(F.col("doc_id"), F.lit(3)))
+        .repartition("chunk")
+        .write.partitionBy("chunk").mode("overwrite").parquet(out))
+
+    batch = streaming.drop_duplicate_docs(src)
+    want = {r["fingerprint"] for r in batch.collect()}
+    assert len(want) == 7 and batch.count() == 7
+
+    stream = streaming.read_docs_stream(spark, out + "/chunk=*",
+                                        max_files_per_trigger=1)
+    assert stream.isStreaming
+    deduped = streaming.drop_duplicate_docs(stream)
+    streaming.run_stream_to_memory(deduped, "docs_deduped_stream", "append")
+    got = spark.table("docs_deduped_stream").collect()
+    assert {r["fingerprint"] for r in got} == want
+    assert len(got) == 7  # ONE survivor per fingerprint across batches
