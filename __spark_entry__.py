@@ -1291,6 +1291,27 @@ def q_lang_id_confusion(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n")))
 
 
+def q_corpus_length_profile(spark, sf_dir):
+    """Corpus profiling: per-language document-length distribution
+    with EXACT interpolated percentiles (Spark's `percentile` — the
+    distributed sort-based exact aggregate; type-7 interpolation,
+    the same definition as DuckDB's quantile_cont).  The profiling
+    face every curation decision starts from; at 100 TB swap
+    `percentile` for `percentile_approx` (t-digest sketch, one pass,
+    mergeable) — same plan shape, bounded memory."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "lang", F.length("text").cast("long").alias("n"))
+    return (docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_chars"),
+        F.round(F.avg("n"), 6).alias("mean_chars"),
+        F.min("n").alias("min_chars"),
+        F.max("n").alias("max_chars"),
+        F.round(F.expr("percentile(n, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(n, 0.99)"), 6).alias("p99")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the per-round driver checks the FIRST 50
     # entries against their DuckDB oracles (observed cap — rounds 3/4
@@ -1414,6 +1435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   embedding_clusters + the ground-truth label column
         "lang_id_confusion": q_lang_id_confusion,  # eval face over
         #   doc_language + the ground-truth lang column
+        "corpus_length_profile": q_corpus_length_profile,  # profiling
+        #   face: exact distributed percentiles over the docs scan
     }
 
 
@@ -3524,6 +3547,20 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
                    round(a.s / 1000000.0 / a.n_tokens, 6) AS avg_logprob
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "corpus_length_profile": """
+            WITH lens AS (SELECT lang, length(text)::BIGINT AS n
+                          FROM documents)
+            SELECT lang,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n)::BIGINT AS total_chars,
+                   round(avg(n), 6) AS mean_chars,
+                   min(n)::BIGINT AS min_chars,
+                   max(n)::BIGINT AS max_chars,
+                   round(quantile_cont(n, 0.5), 6) AS p50,
+                   round(quantile_cont(n, 0.9), 6) AS p90,
+                   round(quantile_cont(n, 0.99), 6) AS p99
+            FROM lens GROUP BY lang
         """,
         "events_props_agg": """
             WITH k AS (SELECT event_type,
