@@ -109,6 +109,11 @@ MIS_SEED = 42  # deterministic-Luby MIS priority seed, both engines
 # rounds past the fixpoint are no-ops on an empty active set, so any
 # unroll count >= the actual round count yields the identical set.
 MIS_ORACLE_ROUNDS = 6
+# Iterated-MIS coloring oracle unroll: sf0.001 converges in 11 colors
+# x <=2 Luby rounds, sf0.01 in 26 x <=4 (probed with the exact
+# priority scheme); 32 x 6 leaves no-op margin past both fixpoints.
+COLORING_ORACLE_COLORS = 32
+COLORING_ORACLE_ROUNDS = 6
 WALK_STEPS = 4  # random_walks hop count, both engines
 # token-budget mixture (curation.token_budget_sample), both engines:
 # zh's budget deliberately exceeds its corpus at every SF (rate caps
@@ -1291,6 +1296,15 @@ def q_lang_id_confusion(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n")))
 
 
+def q_graph_coloring(spark, sf_dir):
+    """Iterated-MIS greedy coloring (<= Delta+1 colors); oracle
+    unrolls the identical per-(color, round) md5-priority Luby rounds
+    with no-op margin past both fixpoints."""
+    from pagerank_spark.operators.coloring import greedy_coloring
+
+    return greedy_coloring(_edges(spark, sf_dir), seed=MIS_SEED)
+
+
 def q_corpus_length_profile(spark, sf_dir):
     """Corpus profiling: per-language document-length distribution
     with EXACT interpolated percentiles (Spark's `percentile` — the
@@ -1437,6 +1451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   doc_language + the ground-truth lang column
         "corpus_length_profile": q_corpus_length_profile,  # profiling
         #   face: exact distributed percentiles over the docs scan
+        "graph_coloring": q_graph_coloring,  # iterated-MIS peel: the
+        #   chromatic face of the Luby machinery checked via mis
     }
 
 
@@ -1742,6 +1758,68 @@ def _mis_unrolled_sql(rounds: int, seed: int) -> str:
     sel = " UNION ALL ".join(
         f"SELECT id, {r}::BIGINT AS mis_round FROM w{r}"
         for r in range(1, rounds + 1))
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
+def _coloring_unrolled_sql(colors: int, rounds: int, seed: int) -> str:
+    """Generate the unrolled DuckDB iterated-MIS coloring chain
+    mirroring ``operators/coloring.py``: per color, a fixed-round
+    deterministic-Luby MIS over the still-uncolored subgraph (rounds
+    past the inner fixpoint are no-ops on an empty candidate set),
+    then the colored set peels off.  ``colors``/``rounds`` must cover
+    the engine's actual counts at the checked SF (sf0.001 needs
+    11 colors x <=2 rounds, sf0.01 needs 26 x <=4 — the 32 x 6 call
+    site leaves margin; extra blocks are no-ops)."""
+    inf = 1 << 62
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGE_SQL}),",
+        "sym AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst"
+        " UNION SELECT dst, src FROM edges WHERE src <> dst),",
+        "av0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges"
+        " UNION SELECT DISTINCT dst FROM edges)",
+    ]
+    for c in range(colors):
+        parts.append(f""",
+            ce{c} AS MATERIALIZED (SELECT s.src, s.dst FROM sym s
+                 JOIN av{c} x ON s.src = x.id
+                 JOIN av{c} y ON s.dst = y.id),
+            cd{c}_0 AS (SELECT id FROM av{c})""")
+        for r in range(1, rounds + 1):
+            parts.append(f""",
+            p{c}_{r} AS MATERIALIZED (SELECT id,
+                 ('0x' || substr(md5('color:{seed}:{c}:{r}:'
+                                     || id::VARCHAR), 1, 15))::BIGINT AS p
+                 FROM cd{c}_{r - 1}),
+            ee{c}_{r} AS (SELECT s.src, s.dst FROM ce{c} s
+                 JOIN cd{c}_{r - 1} x ON s.src = x.id
+                 JOIN cd{c}_{r - 1} y ON s.dst = y.id),
+            nm{c}_{r} AS (SELECT e.src AS id, min(p.p) AS mp
+                 FROM ee{c}_{r} e JOIN p{c}_{r} p ON e.dst = p.id
+                 GROUP BY e.src),
+            w{c}_{r} AS MATERIALIZED (
+                 SELECT p.id FROM p{c}_{r} p
+                 LEFT JOIN nm{c}_{r} n ON p.id = n.id
+                 WHERE p.p < coalesce(n.mp, {inf})),
+            rm{c}_{r} AS (SELECT id FROM w{c}_{r}
+                 UNION
+                 SELECT e.dst FROM ee{c}_{r} e
+                 JOIN w{c}_{r} w ON e.src = w.id),
+            cd{c}_{r} AS MATERIALIZED (
+                 SELECT a.id FROM cd{c}_{r - 1} a
+                 LEFT JOIN rm{c}_{r} x ON a.id = x.id
+                 WHERE x.id IS NULL)""")
+        mis_union = " UNION ALL ".join(
+            f"SELECT id FROM w{c}_{r}" for r in range(1, rounds + 1))
+        parts.append(f""",
+            mis{c} AS MATERIALIZED ({mis_union}),
+            av{c + 1} AS MATERIALIZED (
+                 SELECT a.id FROM av{c} a
+                 LEFT JOIN mis{c} m ON a.id = m.id
+                 WHERE m.id IS NULL)""")
+    sel = " UNION ALL ".join(
+        f"SELECT id, {c}::BIGINT AS color FROM mis{c}"
+        for c in range(colors))
     parts.append("\n" + sel)
     return "".join(parts)
 
@@ -3548,6 +3626,8 @@ def oracle_sql() -> dict[str, str]:
                    round(a.s / 1000000.0 / a.n_tokens, 6) AS avg_logprob
             FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
+        "graph_coloring": _coloring_unrolled_sql(
+            COLORING_ORACLE_COLORS, COLORING_ORACLE_ROUNDS, MIS_SEED),
         "corpus_length_profile": """
             WITH lens AS (SELECT lang, length(text)::BIGINT AS n
                           FROM documents)

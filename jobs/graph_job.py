@@ -96,7 +96,8 @@ def main() -> None:
                        "degdist",
                        "linkpred", "harmonic", "walks", "condense", "ktruss",
                        "diameter", "eigen", "closeness", "bipartite", "mis",
-                       "levels", "betweenness", "neighborhood", "coreness", "msf"}
+                       "levels", "betweenness", "neighborhood", "coreness",
+                       "msf", "coloring"}
     if unknown:
         raise SystemExit(f"unknown algos: {sorted(unknown)}")
 
@@ -269,6 +270,15 @@ def main() -> None:
                         F.max("mis_round").alias("r")).first()
             return {"size": row["n"], "rounds": row["r"]}
         run("mis", _mis)
+    if "coloring" in algos:
+        from pagerank_spark.operators.coloring import greedy_coloring
+
+        def _coloring():
+            c = greedy_coloring(g.edges)
+            row = c.agg(F.count(F.lit(1)).alias("n"),
+                        F.max("color").alias("cmax")).first()
+            return {"vertices": row["n"], "colors": row["cmax"] + 1}
+        run("coloring", _coloring)
     if "levels" in algos:
         from pagerank_spark.operators.scc import condensation_levels
 
