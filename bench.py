@@ -60,6 +60,18 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
         return out
 
+    # Host-drift sentinel: a fixed-work JVM codegen scan (no IO, no
+    # engine code) timed before anything else.  This shared sandbox
+    # drifts +-20-30% run-to-run (BENCH/BASELINE.md round-5 variance
+    # disclosure; the round-4 checkout re-measured 1.5-1.9x its own
+    # published numbers on a bad day), so per-round query deltas are
+    # only comparable after normalizing by this calibration: a delta
+    # that tracks the sentinel is the machine, not the engine.
+    t0 = time.monotonic()
+    spark.range(400_000_000).select(
+        F.sum(F.col("id") % 7).alias("s")).collect()
+    detail["host_calibration_sec"] = round(time.monotonic() - t0, 3)
+
     # -- graph suite ------------------------------------------------------
     edges = entry_mod._edges(spark, sf_dir)
     g = timed("graph_build", lambda: graph.prepare(edges))
@@ -201,6 +213,8 @@ def main() -> None:
                                          F.col("doc_id") % 4)),
         {"l0": 100_000, "l1": 50_000, "l2": 10_000}, seed=7).agg(
         F.sum("n_tok")).collect())
+    timed("doc_unigram_logprob", lambda: textstats.unigram_logprob(
+        docs).agg(F.sum("avg_logprob"), F.sum("n_tokens")).collect())
     # agg over length forces the regex projection (count() would
     # prune the redacted column and measure nothing)
     timed("pii_redacted",
@@ -256,6 +270,11 @@ def main() -> None:
           lambda: dedup.embedding_near_dup_pairs(
               emb, threshold=0.4, n_planes=4, n_tables=8, max_bucket=2000,
               vectorized=True).count())
+    # k-means clustering: agg over dist2 forces the argmin projection
+    timed("embedding_clusters",
+          lambda: similarity.ivf_assignments(
+              emb, n_centroids=16, n_iters=3).agg(
+              F.sum("dist2"), F.max("cluster")).collect())
 
     total = round(sum(timings.values()), 3)
     out = {
