@@ -183,6 +183,35 @@ def decayed_activity_stream(events: DataFrame,
     )
 
 
+def enriched_event_counts(events: DataFrame, user_dims: DataFrame,
+                          window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Stream-static enrichment: join the (streaming or batch) events
+    against a static user-dimension table, then the per-(window,
+    segment) rollup — the classic fact-stream x dimension pattern.
+
+    The static side is broadcast (it re-resolves per micro-batch on a
+    stream, so a dimension refresh between batches is picked up); the
+    stream side never shuffles for the join, only for the windowed
+    aggregate.  A left join keeps events with no dimension row
+    (segment NULL → 'unknown'), so the stream's row set is preserved.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    dims = user_dims.select("user_id", "segment")
+    return (
+        src.join(F.broadcast(dims), "user_id", "left")
+        .withColumn("segment",
+                    F.coalesce(F.col("segment"), F.lit("unknown")))
+        .groupBy(F.window("ts", window).alias("w"), "segment")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "segment",
+                "n", "sum_value")
+    )
+
+
 DOCS_STREAM_SCHEMA = "doc_id BIGINT, ts TIMESTAMP, text STRING"
 
 

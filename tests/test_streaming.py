@@ -145,3 +145,26 @@ def test_drop_duplicate_docs_stream_equals_batch(spark, tmp_path):
     got = spark.table("docs_deduped_stream").collect()
     assert {r["fingerprint"] for r in got} == want
     assert len(got) == 7  # ONE survivor per fingerprint across batches
+
+
+def test_enriched_event_counts_stream_equals_batch(spark, tmp_path):
+    batch_src, glob = _stage_event_chunks(spark, tmp_path)
+    # static dimension covering only half the users → the left-join
+    # 'unknown' branch is exercised
+    dims = batch_src.select("user_id").distinct().where(
+        F.col("user_id") % 2 == 0).withColumn(
+        "segment", F.concat(F.lit("seg"), F.col("user_id") % 3))
+    want = {
+        (r["window_start"], r["segment"]): (r["n"], round(r["sum_value"], 6))
+        for r in streaming.enriched_event_counts(batch_src, dims).collect()
+    }
+    assert any(k[1] == "unknown" for k in want)
+
+    stream = streaming.read_events_stream(spark, glob)
+    agg = streaming.enriched_event_counts(stream, dims)
+    streaming.run_stream_to_memory(agg, "enriched_counts", "complete")
+    got = {
+        (r["window_start"], r["segment"]): (r["n"], round(r["sum_value"], 6))
+        for r in spark.table("enriched_counts").collect()
+    }
+    assert got == want
