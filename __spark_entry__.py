@@ -115,6 +115,12 @@ MIS_ORACLE_ROUNDS = 6
 COLORING_ORACLE_COLORS = 32
 COLORING_ORACLE_ROUNDS = 6
 WALK_STEPS = 4  # random_walks hop count, both engines
+# neighbor_sample_2hop (operators/sampling.py), both engines: seed
+# vertices, per-vertex out-neighbor fanout, and hop count of the
+# GraphSAGE-style sampled subgraph
+SAMPLE_SEEDS = (1, 2, 3)
+SAMPLE_FANOUT = 3
+SAMPLE_HOPS = 2
 # token-budget mixture (curation.token_budget_sample), both engines:
 # zh's budget deliberately exceeds its corpus at every SF (rate caps
 # at 1.0), en/de sit mid-range, es/fr carry no budget line (dropped)
@@ -715,6 +721,21 @@ def q_random_walks(spark, sf_dir):
     from pagerank_spark.operators.walks import random_walks
 
     return random_walks(_edges(spark, sf_dir), num_steps=WALK_STEPS)
+
+
+def q_neighbor_sample(spark, sf_dir):
+    """GraphSAGE-style fixed-fanout 2-hop sampled subgraph from a
+    fixed seed set: per expanded vertex, the SAMPLE_FANOUT
+    neighbors with the smallest md5("src:dst") keys (portable hash
+    family — the DuckDB oracle replays the identical sample), each
+    vertex expanded once at its discovery depth.  Symmetrized face:
+    the testdata edge domain is bipartite-ish (supplier->customer),
+    so the directed face would leave hop 2 empty."""
+    from pagerank_spark.operators.sampling import neighbor_sample
+
+    return neighbor_sample(
+        _edges(spark, sf_dir), seeds=SAMPLE_SEEDS,
+        fanout=SAMPLE_FANOUT, hops=SAMPLE_HOPS, directed=False)
 
 
 def q_scc_condensation(spark, sf_dir):
@@ -1362,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "harmonic_centrality": q_harmonic_centrality,
         "random_walks": q_random_walks,
+        "neighbor_sample_2hop": q_neighbor_sample,
         "ktruss": q_ktruss,
         "mis": q_mis,
         "doc_token_stats": q_doc_token_stats,
@@ -2859,6 +2881,32 @@ def oracle_sql() -> dict[str, str]:
         "effective_diameter": _eff_diam_sql(
             NF_RADIUS, NF_SKETCHES, EFF_DIAM_ALPHA),
         "random_walks": _walks_unrolled_sql(WALK_STEPS),
+        "neighbor_sample_2hop": f"""
+            {edge_cte},
+            e AS (SELECT src, dst FROM edges WHERE src <> dst
+                  UNION
+                  SELECT dst, src FROM edges WHERE src <> dst),
+            seeds AS (SELECT unnest([{", ".join(str(s) for s in SAMPLE_SEEDS)}])::BIGINT AS id),
+            c1 AS (SELECT e.src, e.dst,
+                          row_number() OVER (PARTITION BY e.src ORDER BY
+                              md5(e.src::VARCHAR || ':' || e.dst::VARCHAR)
+                              || lpad(e.dst::VARCHAR, 12, '0')) AS rn
+                   FROM e JOIN seeds s ON e.src = s.id),
+            h1 AS (SELECT src, dst, 1 AS hop FROM c1
+                   WHERE rn <= {SAMPLE_FANOUT}),
+            f1 AS (SELECT DISTINCT dst AS id FROM h1
+                   WHERE dst NOT IN (SELECT id FROM seeds)),
+            c2 AS (SELECT e.src, e.dst,
+                          row_number() OVER (PARTITION BY e.src ORDER BY
+                              md5(e.src::VARCHAR || ':' || e.dst::VARCHAR)
+                              || lpad(e.dst::VARCHAR, 12, '0')) AS rn
+                   FROM e JOIN f1 s ON e.src = s.id),
+            h2 AS (SELECT src, dst, 2 AS hop FROM c2
+                   WHERE rn <= {SAMPLE_FANOUT})
+            SELECT src, dst, hop::INT AS hop FROM h1
+            UNION ALL
+            SELECT src, dst, hop::INT AS hop FROM h2
+        """,
         "ktruss": _truss_unrolled_sql(TRUSS_K, TRUSS_ORACLE_ROUNDS),
         "diameter_2sweep": f"""
             WITH RECURSIVE edges AS ({_EDGE_SQL}),

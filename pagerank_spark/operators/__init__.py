@@ -9,6 +9,7 @@ from pagerank_spark.operators.betweenness import betweenness
 from pagerank_spark.operators.hits import hits
 from pagerank_spark.operators.katz import katz_centrality, KatzResult
 from pagerank_spark.operators.msf import minimum_spanning_forest
+from pagerank_spark.operators.sampling import neighbor_sample
 from pagerank_spark.operators.scc import strongly_connected_components
 from pagerank_spark.operators.sssp import shortest_paths
 from pagerank_spark.operators.structure import (
@@ -41,6 +42,7 @@ __all__ = [
     "core_decomposition",
     "k_core",
     "minimum_spanning_forest",
+    "neighbor_sample",
     "degree_distribution",
     "degree_assortativity",
 ]
