@@ -133,6 +133,7 @@ TRUSS_K = 20  # k-truss peel threshold, both engines
 # settles in 11 rounds, probed in DuckDB).
 TRUSS_ORACLE_ROUNDS = 13
 EXACT_DUP_SAMPLE_IDS = 8  # bounded per-digest member sample, both engines
+NGRAM_TOP_K = 20  # corpus_ngrams: top-k grams per gram order, both engines
 TFIDF_K = 3        # doc_tfidf_topk neighbors per document, both engines
 IVF_CENTROIDS = 4  # ann_ivf_topk coarse-quantizer cells, both engines
 IVF_ITERS = 2      # Lloyd rounds, both engines
@@ -793,6 +794,19 @@ def q_doc_language(spark, sf_dir):
                       F.col("marker_hits").cast("bigint").alias("marker_hits"))
 
 
+def q_corpus_ngrams(spark, sf_dir):
+    """Corpus-wide top-NGRAM_TOP_K vocabulary per gram order (1- and
+    2-grams) with occurrence and document-frequency counts — the
+    boilerplate/stop-list profile of the corpus.  Distributed top-k
+    (TakeOrderedAndProject), never a global vocabulary sort."""
+    from pagerank_spark.pipeline import textstats
+
+    t = textstats.top_ngrams(_docs(spark, sf_dir), ns=(1, 2),
+                             k=NGRAM_TOP_K)
+    return t.select("n", "gram", "occurrences", "doc_freq",
+                    F.col("rank").cast("bigint").alias("rank"))
+
+
 def q_doc_fingerprints(spark, sf_dir):
     from pagerank_spark.pipeline import textstats
 
@@ -1387,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss": q_ktruss,
         "mis": q_mis,
         "doc_token_stats": q_doc_token_stats,
+        "corpus_ngrams": q_corpus_ngrams,
         "doc_quality": q_doc_quality,
         "doc_language": q_doc_language,
         "doc_tfidf_topk": q_doc_tfidf_topk,
@@ -3004,6 +3019,34 @@ def oracle_sql() -> dict[str, str]:
                        AS bpe_tokens,
                    length(text)::BIGINT AS n_chars_m
             FROM documents
+        """,
+        "corpus_ngrams": rf"""
+            WITH base AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+') AS toks
+                FROM documents),
+            uni AS (SELECT doc_id, unnest(toks) AS gram FROM base),
+            bi AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+                   FROM (SELECT doc_id, toks,
+                                unnest(generate_series(1, len(toks) - 1))
+                                    AS i
+                         FROM base WHERE len(toks) >= 2)),
+            grams AS (SELECT 1 AS n, doc_id, gram FROM uni
+                      WHERE gram <> ''
+                      UNION ALL
+                      SELECT 2 AS n, doc_id, gram FROM bi
+                      WHERE gram <> ''),
+            agg AS (SELECT n, gram,
+                           count(*)::BIGINT AS occurrences,
+                           count(DISTINCT doc_id)::BIGINT AS doc_freq
+                    FROM grams GROUP BY n, gram),
+            rk AS (SELECT n, gram, occurrences, doc_freq,
+                          row_number() OVER (PARTITION BY n ORDER BY
+                              occurrences DESC, gram ASC) AS rank
+                   FROM agg)
+            SELECT n::INT AS n, gram, occurrences, doc_freq,
+                   rank::BIGINT AS rank
+            FROM rk WHERE rank <= {NGRAM_TOP_K}
         """,
         "doc_quality": rf"""
             WITH base AS (

@@ -172,3 +172,47 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
                 F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
                 F.round(F.col("s") / F.lit(float(LP_SCALE))
                         / F.col("n_tokens"), 6).alias("avg_logprob")))
+
+
+def top_ngrams(docs: DataFrame, ns=(1, 2), k: int = 20) -> DataFrame:
+    """(n, gram, occurrences, doc_freq, rank) — the corpus-wide ``k``
+    most frequent n-grams for each n in ``ns``, with document
+    frequency; rank 1..k per n ordered by (occurrences desc, gram).
+
+    The vocabulary/top-phrase profile is a standard curation artifact
+    (boilerplate detection, stop-list construction, corpus drift
+    monitoring between crawl snapshots).  Scale shape: per n, one
+    map-side-combinable count aggregation over the exploded grams
+    (the only |corpus|-sized shuffle), a two-phase distinct for
+    doc_freq, then a DISTRIBUTED top-k — ``orderBy().limit(k)``
+    compiles to TakeOrderedAndProject (per-partition heaps merged on
+    the driver), never a global sort of the vocabulary.  The final
+    rank window runs on <= len(ns)*k rows.  Empty-text docs tokenize
+    to [''] and are excluded by the gram <> '' filter, identically in
+    the DuckDB oracle.
+    """
+    from pyspark.sql import Window
+
+    from pagerank_spark.pipeline.curation import _grams
+
+    parts = []
+    for n in ns:
+        parts.append(
+            docs.select(
+                "doc_id",
+                F.explode(_grams(_tokens(F.col("text")), int(n)))
+                .alias("gram"))
+            .where(F.col("gram") != "")
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("occurrences"),
+                 F.countDistinct("doc_id").alias("doc_freq"))
+            .orderBy(F.desc("occurrences"), F.asc("gram"))
+            .limit(k)
+            .select(F.lit(int(n)).cast("int").alias("n"), "gram",
+                    "occurrences", "doc_freq"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    w = Window.partitionBy("n").orderBy(
+        F.desc("occurrences"), F.asc("gram"))
+    return out.withColumn("rank", F.row_number().over(w))

@@ -342,6 +342,22 @@ def test_language_id(spark):
     assert got[2] == "und"
 
 
+def test_top_ngrams(spark):
+    d = _mk_docs(spark, ["a b a b", "a b c", "", "a"])
+    rows = textstats.top_ngrams(d, ns=(1, 2), k=2).collect()
+    uni = {(r["gram"], r["occurrences"], r["doc_freq"], r["rank"])
+           for r in rows if r["n"] == 1}
+    bi = {(r["gram"], r["occurrences"], r["doc_freq"], r["rank"])
+          for r in rows if r["n"] == 2}
+    assert uni == {("a", 4, 3, 1), ("b", 3, 2, 2)}
+    # bigrams: "a b" x3 (docs 0,1), "b a" x1, "b c" x1 -> tie broken by gram
+    assert bi == {("a b", 3, 2, 1), ("b a", 1, 1, 2)}
+    # empty doc contributes nothing; top-k compiles to TakeOrderedAndProject
+    plan = textstats.top_ngrams(d, ns=(1,), k=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
 # ----------------------------------------------------------- similarity
 def test_cosine_topk_vs_numpy(spark, embeddings):
     emb_rows = embeddings.orderBy("vec_id").limit(50).collect()
