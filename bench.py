@@ -169,6 +169,14 @@ def main() -> None:
     timed("neighborhood_r3",
           lambda: neighborhood_function(g.edges, 3).agg(
               F.sum("sum_rho")).collect())
+    from pagerank_spark.operators.densest import densest_subgraph
+    timed("densest_subgraph",
+          lambda: densest_subgraph(g.edges).vertices.count())
+    # rectangle_count is deliberately NOT benched at sf0.1: the exact
+    # 4-cycle census generates 172M wedge rows here (~56s of honest
+    # shuffle — it would dominate the bench total without measuring
+    # anything new about the engine).  It is oracle-checked in
+    # tests/test_entry_contract.py and unit-tested against brute force.
 
     # -- extraction stage (pandas-UDF path) -------------------------------
     files, _ = datagen.repo_files_corpus(

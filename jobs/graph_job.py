@@ -53,6 +53,9 @@ def main() -> None:
     p.add_argument("--weight-col", default=None,
                    help="weight column for sssp/wpr; defaults to the "
                         "deterministic (src+dst)%%7+1 expression")
+    p.add_argument("--rect-max-degree", type=int, default=10_000,
+                   help="rectangles: degree cap bounding wedge volume "
+                        "to cap*|E| (exact census below the cap)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--out", default=None)
     args = p.parse_args()
@@ -97,7 +100,7 @@ def main() -> None:
                        "linkpred", "harmonic", "walks", "condense", "ktruss",
                        "diameter", "eigen", "closeness", "bipartite", "mis",
                        "levels", "betweenness", "neighborhood", "coreness",
-                       "msf", "coloring"}
+                       "msf", "coloring", "densest", "rectangles"}
     if unknown:
         raise SystemExit(f"unknown algos: {sorted(unknown)}")
 
@@ -279,6 +282,26 @@ def main() -> None:
                         F.max("color").alias("cmax")).first()
             return {"vertices": row["n"], "colors": row["cmax"] + 1}
         run("coloring", _coloring)
+    if "densest" in algos:
+        from pagerank_spark.operators.densest import densest_subgraph
+
+        def _densest():
+            r = densest_subgraph(g.edges)
+            return {"density": round(r.density, 6),
+                    "vertices": r.n_vertices, "edges": r.n_edges,
+                    "best_round": r.best_round, "rounds": r.rounds}
+        run("densest", _densest)
+    if "rectangles" in algos:
+        from pagerank_spark.operators.motifs import rectangle_count
+
+        def _rectangles():
+            row = rectangle_count(
+                g.edges, max_degree=args.rect_max_degree).first()
+            return {"rectangles": row["n_rectangles"],
+                    "wedge_pairs": row["n_wedge_pairs"],
+                    "vertices_counted": row["n_vertices_counted"],
+                    "max_degree": args.rect_max_degree}
+        run("rectangles", _rectangles)
     if "levels" in algos:
         from pagerank_spark.operators.scc import condensation_levels
 

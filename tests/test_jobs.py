@@ -60,9 +60,14 @@ def test_graph_job_round5_algos(spark, tmp_path):
 def test_graph_job_round5b_algos(spark, tmp_path):
     path, _ = _stage_edges(spark, tmp_path)
     got = _run("graph_job.py", "--edges", path, "--master", "local[4]",
-               "--algos", "eigen,closeness,bipartite,mis,betweenness",
+               "--algos", "eigen,closeness,bipartite,mis,betweenness,"
+                          "densest,rectangles",
                "--source", "0", "--max-iter", "4")
     a = got["algos"]
+    assert a["densest"]["density"] > 0.0
+    assert a["densest"]["vertices"] >= 1
+    assert a["rectangles"]["rectangles"] >= 0
+    assert a["rectangles"]["max_degree"] == 10_000
     assert a["eigen"]["iterations"] == 4
     assert a["eigen"]["top_eigen"] > 0.0
     assert a["closeness"]["scored"] >= 1
