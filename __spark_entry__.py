@@ -55,6 +55,7 @@ EMB_NEAR_DUP_THRESHOLD = 0.4
 PAGERANK_ORACLE_ITERS = 180
 FRAME_EVERY_N = 10  # video_frames sampling stride, both engines
 HITS_K = 5  # hits_k5 iteration count, both engines
+SALSA_K = 5  # salsa_k5 iteration count, both engines
 KATZ_K = 5  # katz_k5 iteration count, both engines
 # attenuation well under 1/max_in_degree for the sf graphs, so the
 # iterates stay O(1) and the ROUND-digit comparison is robust to
@@ -525,6 +526,20 @@ def q_hits_k5(spark, sf_dir):
     from pagerank_spark.operators.hits import hits
 
     res = hits(_edges(spark, sf_dir), max_iter=HITS_K, tol=0.0)
+    return res.select(
+        "id", F.round("hub", ROUND).alias("hub"),
+        F.round("auth", ROUND).alias("auth"))
+
+
+def q_salsa_k5(spark, sf_dir):
+    """SALSA_K iterations of Lempel-Moran SALSA (degree-normalized
+    HITS with per-step L1 normalization); the oracle unrolls the
+    identical two-weighted-gather + normalize chain — both engines
+    compute each contribution as h * (1/deg) (two correctly-rounded
+    IEEE ops), so the rounded scores match digit-for-digit."""
+    from pagerank_spark.operators.salsa import salsa
+
+    res = salsa(_edges(spark, sf_dir), max_iter=SALSA_K, tol=0.0)
     return res.select(
         "id", F.round("hub", ROUND).alias("hub"),
         F.round("auth", ROUND).alias("auth"))
@@ -1465,6 +1480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   Bahmani greedy-peel densest subgraph, unrolled-CTE oracle
         "rectangle_count": q_rectangle_count,  # new capability:
         #   exact 4-cycle census via wedge aggregation
+        "salsa_k5": q_salsa_k5,  # new capability: Lempel-Moran SALSA
+        #   (degree-normalized HITS, L1 steps), unrolled-CTE oracle
         "minhash_signatures": q_minhash_signatures,  # intermediate of
         #   the minhash->LSH->jaccard pipeline the driver checks
         #   end-to-end via jaccard_pairs + dedup_clusters (demoted to
@@ -1773,6 +1790,51 @@ def _hits_unrolled_sql(k: int) -> str:
         afin AS (SELECT v.id,
                  coalesce(t.au, 0) / (SELECT sqrt(sum(au * au))
                                       FROM a{k}u) AS a
+                 FROM verts v LEFT JOIN a{k}u t ON v.id = t.id)
+        SELECT h.id, round(h.h, {ROUND}) AS hub, round(a.a, {ROUND}) AS auth
+        FROM h{k} h JOIN afin a ON h.id = a.id""")
+    return "".join(parts)
+
+
+def _salsa_unrolled_sql(k: int) -> str:
+    """Generate the k-step unrolled DuckDB SALSA chain.
+
+    Mirrors operators/salsa.py exactly: per step, authority gather
+    from the previous NORMALIZED hub vector with contributions
+    h * (1/out_deg) — written as ``h * (1.0/d)`` so both engines run
+    the same two correctly-rounded IEEE ops, matching the engine's
+    precomputed split fraction — hub gather from the UNNORMALIZED
+    authorities with a * (1/in_deg) (the a-norm cancels inside the h
+    normalize), then one L1 normalize per vector.  h0 = 1 over the
+    dense domain [0, N)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGE_SQL}),",
+        "n AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n"
+        " FROM edges),",
+        "verts AS MATERIALIZED (SELECT unnest(generate_series(0,"
+        " (SELECT n - 1 FROM n)))::BIGINT AS id),",
+        "odeg AS MATERIALIZED (SELECT src AS id, count(*) AS d"
+        " FROM edges GROUP BY src),",
+        "ideg AS MATERIALIZED (SELECT dst AS id, count(*) AS d"
+        " FROM edges GROUP BY dst),",
+        "h0 AS (SELECT id, 1.0 AS h FROM verts)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(f""",
+            a{i}u AS (SELECT e.dst AS id, sum(h.h * (1.0 / od.d)) AS au
+                      FROM edges e JOIN h{i - 1} h ON e.src = h.id
+                      JOIN odeg od ON e.src = od.id
+                      GROUP BY e.dst),
+            h{i}u AS (SELECT e.src AS id, sum(a.au * (1.0 / idg.d)) AS hu
+                      FROM edges e JOIN a{i}u a ON e.dst = a.id
+                      JOIN ideg idg ON e.dst = idg.id
+                      GROUP BY e.src),
+            h{i} AS MATERIALIZED (SELECT v.id,
+                      coalesce(t.hu, 0) / (SELECT sum(hu) FROM h{i}u) AS h
+                      FROM verts v LEFT JOIN h{i}u t ON v.id = t.id)""")
+    parts.append(f""",
+        afin AS (SELECT v.id,
+                 coalesce(t.au, 0) / (SELECT sum(au) FROM a{k}u) AS a
                  FROM verts v LEFT JOIN a{k}u t ON v.id = t.id)
         SELECT h.id, round(h.h, {ROUND}) AS hub, round(a.a, {ROUND}) AS auth
         FROM h{k} h JOIN afin a ON h.id = a.id""")
@@ -2832,6 +2894,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sym s JOIN deg a ON s.src = a.id JOIN deg b ON s.dst = b.id
         """,
         "hits_k5": _hits_unrolled_sql(HITS_K),
+        "salsa_k5": _salsa_unrolled_sql(SALSA_K),
         "katz_k5": _katz_unrolled_sql(KATZ_K, KATZ_ALPHA),
         "eigenvector_k5": _eigen_unrolled_sql(EIGEN_K),
         "mis": _mis_unrolled_sql(MIS_ORACLE_ROUNDS, MIS_SEED),

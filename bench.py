@@ -108,6 +108,9 @@ def main() -> None:
               g.edges.withColumn("weight", F.lit(1.0)),
               max_iter=20).ranks.count())
     timed("hits_k8", lambda: hits(g.edges, n=g.n, max_iter=8).count())
+    from pagerank_spark.operators.salsa import salsa
+    timed("salsa_k8",
+          lambda: salsa(g.edges, n=g.n, max_iter=8, tol=0.0).count())
     timed("katz_k8",
           lambda: katz_centrality(g, alpha=0.001, max_iter=8,
                                   tol=0.0).ranks.count())

@@ -100,7 +100,8 @@ def main() -> None:
                        "linkpred", "harmonic", "walks", "condense", "ktruss",
                        "diameter", "eigen", "closeness", "bipartite", "mis",
                        "levels", "betweenness", "neighborhood", "coreness",
-                       "msf", "coloring", "densest", "rectangles"}
+                       "msf", "coloring", "densest", "rectangles",
+                       "salsa"}
     if unknown:
         raise SystemExit(f"unknown algos: {sorted(unknown)}")
 
@@ -133,6 +134,14 @@ def main() -> None:
             top = h.orderBy(F.desc("auth"), F.asc("id")).first()
             return {"top_auth_id": top["id"], "top_auth": top["auth"]}
         run("hits", _hits)
+    if "salsa" in algos:
+        from pagerank_spark.operators.salsa import salsa
+
+        def _salsa():
+            s = salsa(g.edges, n=g.n, max_iter=args.max_iter, tol=0.0)
+            top = s.orderBy(F.desc("auth"), F.asc("id")).first()
+            return {"top_auth_id": top["id"], "top_auth": top["auth"]}
+        run("salsa", _salsa)
     if "katz" in algos:
         def _katz():
             r = katz_centrality(g, alpha=args.katz_alpha,

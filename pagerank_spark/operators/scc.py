@@ -395,6 +395,12 @@ def condensation_levels(
                 interval=checkpoint_interval)
         lvl = members.select("scc", F.lit(0).cast("bigint").alias("level"),
                              "n_members").localCheckpoint(eager=True)
+        # On-cadence rounds persist the re-read state; track that frame
+        # (same pattern as tick()'s cadence_caches above) so each is
+        # released once its successor is materialized — otherwise one
+        # |SCC|-row cache accumulates per cadence hit and survives
+        # after the operator returns.
+        lvl_cached: DataFrame | None = None
         prev_sum = 0
         rnd = 0
         while True:
@@ -418,17 +424,29 @@ def condensation_levels(
                         .alias("level"),
                         "n_members")
             )
-            if checkpoint.should_checkpoint(rnd):
+            on_cadence = checkpoint.should_checkpoint(rnd)
+            if on_cadence:
                 nxt = checkpoint.write_state(nxt, rnd).persist()
             else:
                 nxt = nxt.localCheckpoint(eager=True)
             s = nxt.agg(F.sum("level").alias("s")).first()["s"] or 0
-            if checkpoint.should_checkpoint(rnd):
+            if on_cadence:
                 checkpoint.write_metrics(rnd, {"sum_level": float(s)})
+                # nxt is materialized (the agg above ran); the previous
+                # cadence frame is no longer the live state.
+                if lvl_cached is not None:
+                    lvl_cached.unpersist()
+                lvl_cached = nxt
             lvl = nxt
             if s == prev_sum:
                 break
             prev_sum = s
+        if lvl_cached is not None:
+            # Materialize the result so callers never re-trigger the
+            # loop's lineage after the cache is released.
+            if lvl is lvl_cached:
+                lvl = lvl.localCheckpoint(eager=True)
+            lvl_cached.unpersist()
         return lvl
     finally:
         if cond is not None:
