@@ -56,6 +56,14 @@ PAGERANK_ORACLE_ITERS = 180
 FRAME_EVERY_N = 10  # video_frames sampling stride, both engines
 HITS_K = 5  # hits_k5 iteration count, both engines
 SALSA_K = 5  # salsa_k5 iteration count, both engines
+# Unrolled local-max rounds in the maximal_matching / coarsen_graph
+# oracles; the engine stops at the first empty edge set (~5 rounds at
+# the driver SFs, probed) and rounds past that are no-ops on empty
+# CTEs, so any unroll count >= the actual round count yields the
+# identical matching.  24 covers the O(log |E|) expectation with
+# generous margin.  Seed is shared by engine and oracle.
+MATCH_ORACLE_ROUNDS = 24
+MATCH_SEED = 42
 KATZ_K = 5  # katz_k5 iteration count, both engines
 # attenuation well under 1/max_in_degree for the sf graphs, so the
 # iterates stay O(1) and the ROUND-digit comparison is robust to
@@ -543,6 +551,37 @@ def q_salsa_k5(spark, sf_dir):
     return res.select(
         "id", F.round("hub", ROUND).alias("hub"),
         F.round("auth", ROUND).alias("auth"))
+
+
+def q_maximal_matching(spark, sf_dir):
+    """Deterministic local-max maximal matching; the oracle replays
+    the identical md5-keyed rounds (the lo:hi key suffix makes every
+    per-vertex argmin a total order, so the selected matching is a
+    pure function of the seed in both engines)."""
+    from pagerank_spark.operators.matching import maximal_matching
+
+    return maximal_matching(_edges(spark, sf_dir), seed=MATCH_SEED,
+                            max_rounds=MATCH_ORACLE_ROUNDS).select(
+        F.col("lo").cast("bigint").alias("lo"),
+        F.col("hi").cast("bigint").alias("hi"),
+        F.col("match_round").cast("bigint").alias("match_round"))
+
+
+def q_coarsen_graph(spark, sf_dir):
+    """METIS-style matching contraction: matched pairs collapse into
+    their lo endpoint, contracted parallel edges combine into an
+    integer weight, self-loops drop; the oracle contracts the same
+    replayed matching."""
+    from pagerank_spark.operators.matching import coarsen_graph, \
+        maximal_matching
+
+    e = _edges(spark, sf_dir)
+    m = maximal_matching(e, seed=MATCH_SEED,
+                         max_rounds=MATCH_ORACLE_ROUNDS)
+    return coarsen_graph(e, m).select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+        F.col("weight").cast("bigint").alias("weight"))
 
 
 def q_scc(spark, sf_dir):
@@ -1482,6 +1521,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   exact 4-cycle census via wedge aggregation
         "salsa_k5": q_salsa_k5,  # new capability: Lempel-Moran SALSA
         #   (degree-normalized HITS, L1 steps), unrolled-CTE oracle
+        "maximal_matching": q_maximal_matching,  # new capability:
+        #   deterministic local-max matching, unrolled-CTE oracle
+        "coarsen_graph": q_coarsen_graph,  # new capability:
+        #   METIS-style matching contraction over the same matching
         "minhash_signatures": q_minhash_signatures,  # intermediate of
         #   the minhash->LSH->jaccard pipeline the driver checks
         #   end-to-end via jaccard_pairs + dedup_clusters (demoted to
@@ -1839,6 +1882,79 @@ def _salsa_unrolled_sql(k: int) -> str:
         SELECT h.id, round(h.h, {ROUND}) AS hub, round(a.a, {ROUND}) AS auth
         FROM h{k} h JOIN afin a ON h.id = a.id""")
     return "".join(parts)
+
+
+def _matching_rounds_sql(rounds: int, seed: int) -> str:
+    """Shared CTE prefix unrolling the deterministic local-max
+    matching rounds of ``operators/matching.py``: per round, the
+    md5-keyed priority ``md5('match:<seed>:<r>:<lo>:<hi>') || ':lo:hi'``
+    (the suffix makes keys unique, so the per-vertex min is a total
+    order and winners are vertex-disjoint), an edge wins iff its key
+    is the minimum at BOTH endpoints, matched endpoints leave.  Ends
+    with an ``mm`` CTE of (lo, hi, match_round)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGE_SQL}),",
+        "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo,"
+        " greatest(src, dst) AS hi FROM edges WHERE src <> dst),",
+        "cur0 AS MATERIALIZED (SELECT lo, hi FROM und)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+            p{r} AS MATERIALIZED (SELECT lo, hi,
+                 md5('match:{seed}:{r}:' || lo::VARCHAR || ':'
+                     || hi::VARCHAR)
+                   || ':' || lo::VARCHAR || ':' || hi::VARCHAR AS k
+                 FROM cur{r - 1}),
+            vm{r} AS (SELECT id, min(k) AS mk FROM (
+                          SELECT lo AS id, k FROM p{r}
+                          UNION ALL SELECT hi, k FROM p{r})
+                      GROUP BY id),
+            w{r} AS MATERIALIZED (
+                SELECT p.lo, p.hi FROM p{r} p
+                JOIN vm{r} a ON p.lo = a.id AND p.k = a.mk
+                JOIN vm{r} b ON p.hi = b.id AND p.k = b.mk),
+            g{r} AS (SELECT lo AS id FROM w{r}
+                     UNION ALL SELECT hi FROM w{r}),
+            cur{r} AS MATERIALIZED (
+                SELECT c.lo, c.hi FROM cur{r - 1} c
+                LEFT JOIN g{r} x ON c.lo = x.id
+                LEFT JOIN g{r} y ON c.hi = y.id
+                WHERE x.id IS NULL AND y.id IS NULL)""")
+    sel = " UNION ALL ".join(
+        f"SELECT lo, hi, {r}::BIGINT AS match_round FROM w{r}"
+        for r in range(1, rounds + 1))
+    parts.append(f",\nmm AS MATERIALIZED ({sel})")
+    return "".join(parts)
+
+
+def _matching_unrolled_sql(rounds: int, seed: int) -> str:
+    return (_matching_rounds_sql(rounds, seed)
+            + "\nSELECT lo::BIGINT AS lo, hi::BIGINT AS hi, match_round"
+              " FROM mm")
+
+
+def _coarsen_unrolled_sql(rounds: int, seed: int) -> str:
+    """Contract the replayed matching (``operators/matching.py
+    coarsen_graph``): matched pairs -> lo endpoint, unmatched ->
+    themselves, canonical orientation, integer multiplicity weight,
+    self-loops dropped."""
+    return (
+        _matching_rounds_sql(rounds, seed)
+        + """,
+        verts AS (SELECT DISTINCT src AS id FROM edges
+                  UNION SELECT DISTINCT dst FROM edges),
+        pm AS (SELECT lo AS id, lo AS rep FROM mm
+               UNION ALL SELECT hi, lo FROM mm),
+        vmap AS MATERIALIZED (
+            SELECT v.id, coalesce(p.rep, v.id) AS rep
+            FROM verts v LEFT JOIN pm p ON v.id = p.id)
+        SELECT least(a.rep, b.rep)::BIGINT AS src,
+               greatest(a.rep, b.rep)::BIGINT AS dst,
+               count(*)::BIGINT AS weight
+        FROM und e JOIN vmap a ON e.lo = a.id JOIN vmap b ON e.hi = b.id
+        WHERE a.rep <> b.rep
+        GROUP BY 1, 2"""
+    )
 
 
 def _katz_unrolled_sql(k: int, alpha: float) -> str:
@@ -2895,6 +3011,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hits_k5": _hits_unrolled_sql(HITS_K),
         "salsa_k5": _salsa_unrolled_sql(SALSA_K),
+        "maximal_matching": _matching_unrolled_sql(
+            MATCH_ORACLE_ROUNDS, MATCH_SEED),
+        "coarsen_graph": _coarsen_unrolled_sql(
+            MATCH_ORACLE_ROUNDS, MATCH_SEED),
         "katz_k5": _katz_unrolled_sql(KATZ_K, KATZ_ALPHA),
         "eigenvector_k5": _eigen_unrolled_sql(EIGEN_K),
         "mis": _mis_unrolled_sql(MIS_ORACLE_ROUNDS, MIS_SEED),

@@ -175,6 +175,9 @@ def main() -> None:
     from pagerank_spark.operators.densest import densest_subgraph
     timed("densest_subgraph",
           lambda: densest_subgraph(g.edges).vertices.count())
+    from pagerank_spark.operators.matching import coarsen_graph
+    timed("coarsen_graph",
+          lambda: coarsen_graph(g.edges, seed=42).count())
     # rectangle_count is deliberately NOT benched at sf0.1: the exact
     # 4-cycle census generates 172M wedge rows here (~56s of honest
     # shuffle — it would dominate the bench total without measuring

@@ -53,6 +53,10 @@ def main() -> None:
     p.add_argument("--weight-col", default=None,
                    help="weight column for sssp/wpr; defaults to the "
                         "deterministic (src+dst)%%7+1 expression")
+    p.add_argument("--seed", type=int, default=42,
+                   help="seed for the randomized-round operators "
+                        "(matching/coarsen); runs are pure functions "
+                        "of it")
     p.add_argument("--rect-max-degree", type=int, default=10_000,
                    help="rectangles: degree cap bounding wedge volume "
                         "to cap*|E| (exact census below the cap)")
@@ -101,7 +105,7 @@ def main() -> None:
                        "diameter", "eigen", "closeness", "bipartite", "mis",
                        "levels", "betweenness", "neighborhood", "coreness",
                        "msf", "coloring", "densest", "rectangles",
-                       "salsa"}
+                       "salsa", "matching", "coarsen"}
     if unknown:
         raise SystemExit(f"unknown algos: {sorted(unknown)}")
 
@@ -291,6 +295,27 @@ def main() -> None:
                         F.max("color").alias("cmax")).first()
             return {"vertices": row["n"], "colors": row["cmax"] + 1}
         run("coloring", _coloring)
+    if "matching" in algos or "coarsen" in algos:
+        from pagerank_spark.operators.matching import (
+            coarsen_graph, maximal_matching)
+
+        matching = maximal_matching(g.edges, seed=args.seed)
+        if "matching" in algos:
+            def _matching():
+                row = matching.agg(
+                    F.count(F.lit(1)).alias("pairs"),
+                    F.max("match_round").alias("rounds")).first()
+                return {"pairs": row["pairs"],
+                        "rounds": row["rounds"] or 0}
+            run("matching", _matching)
+        if "coarsen" in algos:
+            def _coarsen():
+                c = coarsen_graph(g.edges, matching)
+                row = c.agg(F.count(F.lit(1)).alias("edges"),
+                            F.sum("weight").alias("wsum")).first()
+                return {"edges": row["edges"],
+                        "weight_sum": int(row["wsum"] or 0)}
+            run("coarsen", _coarsen)
     if "densest" in algos:
         from pagerank_spark.operators.densest import densest_subgraph
 

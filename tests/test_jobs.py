@@ -61,10 +61,12 @@ def test_graph_job_round5b_algos(spark, tmp_path):
     path, _ = _stage_edges(spark, tmp_path)
     got = _run("graph_job.py", "--edges", path, "--master", "local[4]",
                "--algos", "eigen,closeness,bipartite,mis,betweenness,"
-                          "densest,rectangles,salsa",
+                          "densest,rectangles,salsa,matching,coarsen",
                "--source", "0", "--max-iter", "4")
     a = got["algos"]
     assert a["salsa"]["top_auth"] > 0.0
+    assert a["matching"]["pairs"] >= 1
+    assert a["coarsen"]["weight_sum"] >= a["coarsen"]["edges"]
     assert a["densest"]["density"] > 0.0
     assert a["densest"]["vertices"] >= 1
     assert a["rectangles"]["rectangles"] >= 0
