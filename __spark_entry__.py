@@ -64,6 +64,13 @@ SALSA_K = 5  # salsa_k5 iteration count, both engines
 # generous margin.  Seed is shared by engine and oracle.
 MATCH_ORACLE_ROUNDS = 24
 MATCH_SEED = 42
+# label_spreading (operators/labelspread.py), both engines: damping,
+# step count, and the deterministic modular seed rule (every vertex
+# with id % SPREAD_MOD == 0 seeded with class id % SPREAD_CLASSES).
+SPREAD_ALPHA = 0.85
+SPREAD_K = 6
+SPREAD_MOD = 16
+SPREAD_CLASSES = 4
 KATZ_K = 5  # katz_k5 iteration count, both engines
 # attenuation well under 1/max_in_degree for the sf graphs, so the
 # iterates stay O(1) and the ROUND-digit comparison is robust to
@@ -582,6 +589,24 @@ def q_coarsen_graph(spark, sf_dir):
         F.col("src").cast("bigint").alias("src"),
         F.col("dst").cast("bigint").alias("dst"),
         F.col("weight").cast("bigint").alias("weight"))
+
+
+def q_label_spreading(spark, sf_dir):
+    """Semi-supervised label spreading from the deterministic modular
+    seed set, SPREAD_K damped steps; per-step scores are quantized to
+    labelspread.QUANT digits in both engines, so the diffusion and the
+    final per-vertex argmax replay identically in the unrolled
+    oracle."""
+    from pagerank_spark.operators.labelspread import (
+        label_spreading, modular_seeds)
+
+    e = _edges(spark, sf_dir)
+    out = label_spreading(e, modular_seeds(e, SPREAD_MOD, SPREAD_CLASSES),
+                          alpha=SPREAD_ALPHA, iterations=SPREAD_K)
+    return out.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("label").cast("bigint").alias("label"),
+        F.round("score", ROUND).alias("score"))
 
 
 def q_scc(spark, sf_dir):
@@ -1525,6 +1550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   deterministic local-max matching, unrolled-CTE oracle
         "coarsen_graph": q_coarsen_graph,  # new capability:
         #   METIS-style matching contraction over the same matching
+        "label_spreading": q_label_spreading,  # new capability:
+        #   seeded semi-supervised diffusion, unrolled-CTE oracle
         "minhash_signatures": q_minhash_signatures,  # intermediate of
         #   the minhash->LSH->jaccard pipeline the driver checks
         #   end-to-end via jaccard_pairs + dedup_clusters (demoted to
@@ -1955,6 +1982,53 @@ def _coarsen_unrolled_sql(rounds: int, seed: int) -> str:
         WHERE a.rep <> b.rep
         GROUP BY 1, 2"""
     )
+
+
+def _spread_unrolled_sql(k: int, alpha: float, mod: int,
+                         n_classes: int) -> str:
+    """Generate the unrolled DuckDB label-spreading chain mirroring
+    ``operators/labelspread.py``: sparse (id, label, y) state over the
+    symmetrized simple graph, per step y = round(α·Σ y·(1/deg) +
+    (1-α)·y0, QUANT) — the quantization collapses the summation-order
+    ulp, so the final argmax (ties to the smallest label) is identical
+    in both engines.  Seed literals use the same Python-computed
+    doubles the engine passes to F.lit."""
+    from pagerank_spark.operators.labelspread import QUANT
+
+    one_minus = 1.0 - alpha
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGE_SQL}),",
+        "verts AS (SELECT DISTINCT src AS id FROM edges"
+        " UNION SELECT DISTINCT dst FROM edges),",
+        f"seeds AS MATERIALIZED (SELECT id, id % {n_classes} AS label"
+        f" FROM verts WHERE id % {mod} = 0),",
+        "undp AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo,"
+        " greatest(src, dst) AS hi FROM edges WHERE src <> dst),",
+        "sym AS MATERIALIZED (SELECT lo AS src, hi AS dst FROM undp"
+        " UNION ALL SELECT hi, lo FROM undp),",
+        "deg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM sym"
+        " GROUP BY src),",
+        "y0 AS MATERIALIZED (SELECT id, label, 1.0 AS y FROM seeds)",
+    ]
+    for t in range(1, k + 1):
+        parts.append(f""",
+            g{t} AS (SELECT e.dst AS id, s.label,
+                            sum(s.y * (1.0 / d.d)) AS g
+                     FROM sym e JOIN y{t - 1} s ON e.src = s.id
+                     JOIN deg d ON e.src = d.id
+                     GROUP BY e.dst, s.label),
+            y{t} AS MATERIALIZED (
+                SELECT id, label, round(sum(v), {QUANT}) AS y FROM (
+                    SELECT id, label, {alpha!r}::DOUBLE * g AS v FROM g{t}
+                    UNION ALL
+                    SELECT id, label, {one_minus!r}::DOUBLE AS v FROM seeds)
+                GROUP BY id, label)""")
+    parts.append(f"""
+        SELECT id, label, round(y, {ROUND}) AS score FROM (
+            SELECT id, label, y, row_number() OVER (
+                PARTITION BY id ORDER BY y DESC, label ASC) AS r
+            FROM y{k}) WHERE r = 1""")
+    return "".join(parts)
 
 
 def _katz_unrolled_sql(k: int, alpha: float) -> str:
@@ -3015,6 +3089,8 @@ def oracle_sql() -> dict[str, str]:
             MATCH_ORACLE_ROUNDS, MATCH_SEED),
         "coarsen_graph": _coarsen_unrolled_sql(
             MATCH_ORACLE_ROUNDS, MATCH_SEED),
+        "label_spreading": _spread_unrolled_sql(
+            SPREAD_K, SPREAD_ALPHA, SPREAD_MOD, SPREAD_CLASSES),
         "katz_k5": _katz_unrolled_sql(KATZ_K, KATZ_ALPHA),
         "eigenvector_k5": _eigen_unrolled_sql(EIGEN_K),
         "mis": _mis_unrolled_sql(MIS_ORACLE_ROUNDS, MIS_SEED),

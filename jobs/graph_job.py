@@ -105,7 +105,7 @@ def main() -> None:
                        "diameter", "eigen", "closeness", "bipartite", "mis",
                        "levels", "betweenness", "neighborhood", "coreness",
                        "msf", "coloring", "densest", "rectangles",
-                       "salsa", "matching", "coarsen"}
+                       "salsa", "matching", "coarsen", "spread"}
     if unknown:
         raise SystemExit(f"unknown algos: {sorted(unknown)}")
 
@@ -295,6 +295,18 @@ def main() -> None:
                         F.max("color").alias("cmax")).first()
             return {"vertices": row["n"], "colors": row["cmax"] + 1}
         run("coloring", _coloring)
+    if "spread" in algos:
+        from pagerank_spark.operators.labelspread import (
+            label_spreading, modular_seeds)
+
+        def _spread():
+            out = label_spreading(
+                g.edges, modular_seeds(g.edges, 16, 4),
+                alpha=0.85, iterations=args.max_iter)
+            row = out.agg(F.count(F.lit(1)).alias("labeled"),
+                          F.countDistinct("label").alias("classes")).first()
+            return {"labeled": row["labeled"], "classes": row["classes"]}
+        run("spread", _spread)
     if "matching" in algos or "coarsen" in algos:
         from pagerank_spark.operators.matching import (
             coarsen_graph, maximal_matching)

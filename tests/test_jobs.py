@@ -61,9 +61,11 @@ def test_graph_job_round5b_algos(spark, tmp_path):
     path, _ = _stage_edges(spark, tmp_path)
     got = _run("graph_job.py", "--edges", path, "--master", "local[4]",
                "--algos", "eigen,closeness,bipartite,mis,betweenness,"
-                          "densest,rectangles,salsa,matching,coarsen",
+                          "densest,rectangles,salsa,matching,coarsen,"
+                          "spread",
                "--source", "0", "--max-iter", "4")
     a = got["algos"]
+    assert a["spread"]["labeled"] >= 1
     assert a["salsa"]["top_auth"] > 0.0
     assert a["matching"]["pairs"] >= 1
     assert a["coarsen"]["weight_sum"] >= a["coarsen"]["edges"]
