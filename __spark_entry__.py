@@ -71,6 +71,12 @@ SPREAD_ALPHA = 0.85
 SPREAD_K = 6
 SPREAD_MOD = 16
 SPREAD_CLASSES = 4
+# dataset_split / pack_bins (pipeline/curation.py), both engines.
+SPLIT_SEED = 7
+SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+PACK_MAX_TOKENS = 64
+PACK_BUCKETS = 8
+PACK_SEED = 11
 KATZ_K = 5  # katz_k5 iteration count, both engines
 # attenuation well under 1/max_in_degree for the sf graphs, so the
 # iterates stay O(1) and the ROUND-digit comparison is robust to
@@ -607,6 +613,47 @@ def q_label_spreading(spark, sf_dir):
         F.col("id").cast("bigint").alias("id"),
         F.col("label").cast("bigint").alias("label"),
         F.round("score", ROUND).alias("score"))
+
+
+def q_coarse_pagerank_k3(spark, sf_dir):
+    """Composition: maximal matching -> METIS-style contraction ->
+    three steps of weighted PageRank over the contracted multigraph
+    (contracted edge multiplicity as the weight) — proving the
+    coarsener's output feeds the weighted matvec with reference
+    semantics.  The oracle replays the matching rounds, contracts
+    identically, and unrolls the same affine chain."""
+    from pagerank_spark.operators.matching import coarsen_graph, \
+        maximal_matching
+    from pagerank_spark.operators.weighted import weighted_pagerank
+
+    e = _edges(spark, sf_dir)
+    m = maximal_matching(e, seed=MATCH_SEED,
+                         max_rounds=MATCH_ORACLE_ROUNDS)
+    c = coarsen_graph(e, m).select(
+        "src", "dst", F.col("weight").cast("double").alias("weight"))
+    res = weighted_pagerank(c, max_iter=3)
+    return res.ranks.select("id", F.round("pr", 9).alias("pr"))
+
+
+def q_dataset_splits(spark, sf_dir):
+    """Deterministic hash-bucketed train/val/test assignment over the
+    documents table (append-stable: a doc's split never changes when
+    the corpus grows); exact integer compares in both engines."""
+    from pagerank_spark.pipeline.curation import dataset_split
+
+    return dataset_split(_read(spark, sf_dir, "documents"),
+                         dict(SPLIT_FRACTIONS), seed=SPLIT_SEED)
+
+
+def q_pack_bins(spark, sf_dir):
+    """Deterministic hash-bucketed sequence packing: per-bucket
+    doc_id order, bin_id = exclusive running token count DIV
+    PACK_MAX_TOKENS — exact integer arithmetic in both engines."""
+    from pagerank_spark.pipeline.curation import pack_bins
+
+    return pack_bins(_read(spark, sf_dir, "documents"),
+                     max_tokens=PACK_MAX_TOKENS,
+                     n_buckets=PACK_BUCKETS, seed=PACK_SEED)
 
 
 def q_scc(spark, sf_dir):
@@ -1552,6 +1599,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   METIS-style matching contraction over the same matching
         "label_spreading": q_label_spreading,  # new capability:
         #   seeded semi-supervised diffusion, unrolled-CTE oracle
+        "coarse_pagerank_k3": q_coarse_pagerank_k3,  # composition:
+        #   matching -> contraction -> weighted matvec, one oracle
+        "dataset_splits": q_dataset_splits,  # new capability:
+        #   append-stable hash train/val/test splits
+        "pack_bins": q_pack_bins,  # new capability: hash-bucketed
+        #   deterministic sequence packing for batch assembly
         "minhash_signatures": q_minhash_signatures,  # intermediate of
         #   the minhash->LSH->jaccard pipeline the driver checks
         #   end-to-end via jaccard_pairs + dedup_clusters (demoted to
@@ -1982,6 +2035,71 @@ def _coarsen_unrolled_sql(rounds: int, seed: int) -> str:
         WHERE a.rep <> b.rep
         GROUP BY 1, 2"""
     )
+
+
+def _coarse_wpr_sql(rounds: int, seed: int, k: int = 3) -> str:
+    """Matching rounds -> contraction -> k-step weighted-PageRank
+    chain (CTE names prefixed to avoid the matching chain's p{r}/g{r}
+    namespace).  Mirrors q_coarse_pagerank_k3: contracted multiplicity
+    as weight, dense domain [0, max contracted id], reference damping
+    0.85 / dangling redistribution / zero-free init."""
+    parts = [_matching_rounds_sql(rounds, seed), """,
+        cverts AS (SELECT DISTINCT src AS id FROM edges
+                   UNION SELECT DISTINCT dst FROM edges),
+        cpm AS (SELECT lo AS id, lo AS rep FROM mm
+                UNION ALL SELECT hi, lo FROM mm),
+        cvmap AS MATERIALIZED (
+            SELECT v.id, coalesce(p.rep, v.id) AS rep
+            FROM cverts v LEFT JOIN cpm p ON v.id = p.id),
+        wedges AS MATERIALIZED (
+            SELECT least(a.rep, b.rep)::BIGINT AS src,
+                   greatest(a.rep, b.rep)::BIGINT AS dst,
+                   count(*)::DOUBLE AS w
+            FROM und e JOIN cvmap a ON e.lo = a.id
+            JOIN cvmap b ON e.hi = b.id
+            WHERE a.rep <> b.rep GROUP BY 1, 2),
+        nn AS (SELECT (max(greatest(src, dst)) + 1)::DOUBLE AS n
+               FROM wedges),
+        stn AS (SELECT src AS id, sum(w) AS strength
+                FROM wedges GROUP BY src),
+        vv AS (SELECT unnest(generate_series(0,
+                   (SELECT n::BIGINT - 1 FROM nn)))::BIGINT AS id),
+        pr1 AS (SELECT id, 0.15 / (SELECT n FROM nn) AS pr FROM vv)"""]
+    for i in range(2, k + 1):
+        parts.append(f""",
+        dd{i} AS (SELECT coalesce(sum(p.pr), 0) AS d FROM pr{i - 1} p
+                  LEFT JOIN stn s ON p.id = s.id WHERE s.id IS NULL),
+        gg{i} AS (SELECT e.dst AS id, sum(p.pr * e.w / s.strength) AS c
+                  FROM wedges e JOIN pr{i - 1} p ON e.src = p.id
+                  JOIN stn s ON e.src = s.id GROUP BY e.dst),
+        pr{i} AS (SELECT v.id,
+                      (coalesce(g.c, 0)
+                           + (SELECT d FROM dd{i}) / (SELECT n FROM nn))
+                          * 0.85 + 0.15 / (SELECT n FROM nn) AS pr
+                  FROM vv v LEFT JOIN gg{i} g ON v.id = g.id)""")
+    parts.append(f"\nSELECT id, round(pr, 9) AS pr FROM pr{k}")
+    return "".join(parts)
+
+
+def _dataset_splits_sql() -> str:
+    """CASE chain over the md5 deviate with the IDENTICAL cumulative
+    integer cut points ``pipeline/curation.dataset_split`` computes
+    (same Python float accumulation, same int() truncation)."""
+    space = 1 << 60
+    names = list(SPLIT_FRACTIONS)
+    acc = 0.0
+    whens = []
+    for nm in names[:-1]:
+        acc += SPLIT_FRACTIONS[nm]
+        whens.append(f"WHEN dev < {int(acc * space)} THEN '{nm}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    return f"""
+        SELECT doc_id::BIGINT AS doc_id, {case} AS split
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5('sample:{SPLIT_SEED}:'
+                          || doc_id::VARCHAR), 1, 15))::BIGINT AS dev
+              FROM documents)
+    """
 
 
 def _spread_unrolled_sql(k: int, alpha: float, mod: int,
@@ -3091,6 +3209,28 @@ def oracle_sql() -> dict[str, str]:
             MATCH_ORACLE_ROUNDS, MATCH_SEED),
         "label_spreading": _spread_unrolled_sql(
             SPREAD_K, SPREAD_ALPHA, SPREAD_MOD, SPREAD_CLASSES),
+        "coarse_pagerank_k3": _coarse_wpr_sql(
+            MATCH_ORACLE_ROUNDS, MATCH_SEED, 3),
+        "dataset_splits": _dataset_splits_sql(),
+        "pack_bins": f"""
+            WITH base AS (
+                SELECT doc_id::BIGINT AS doc_id,
+                       (('0x' || substr(md5('sample:{PACK_SEED}:'
+                            || doc_id::VARCHAR), 1, 15))::BIGINT
+                        % {PACK_BUCKETS}) AS bucket,
+                       len(string_split_regex(trim(lower(text)),
+                           '\\s+'))::BIGINT AS n_tokens
+                FROM documents),
+            c AS (SELECT doc_id, bucket, n_tokens,
+                         coalesce(sum(n_tokens) OVER (
+                             PARTITION BY bucket ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS cum
+                  FROM base)
+            SELECT doc_id, bucket,
+                   (cum // {PACK_MAX_TOKENS})::BIGINT AS bin_id, n_tokens
+            FROM c
+        """,
         "katz_k5": _katz_unrolled_sql(KATZ_K, KATZ_ALPHA),
         "eigenvector_k5": _eigen_unrolled_sql(EIGEN_K),
         "mis": _mis_unrolled_sql(MIS_ORACLE_ROUNDS, MIS_SEED),

@@ -34,7 +34,7 @@ from __future__ import annotations
 import decimal
 import re
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # Fixed-point denominator for the sampling deviate: md5's leading 15
 # hex chars as a non-negative 60-bit integer (same family as
@@ -385,4 +385,78 @@ def sample_stats(docs: DataFrame, rates: dict[str, float],
             F.round(F.coalesce("kept", F.lit(0)) / F.col("total"), 6)
             .alias("kept_frac"),
         )
+    )
+
+
+def dataset_split(docs: DataFrame, fractions: dict[str, float] | None = None,
+                  seed: int = 7) -> DataFrame:
+    """(doc_id, split) — deterministic train/val/test assignment by
+    hash bucket: the 60-bit md5 deviate falls into cumulative integer
+    cut points (one per split, in the dict's listed order); the LAST
+    split absorbs the hash-space remainder.
+
+    The assignment is a pure per-row expression over exact integer
+    compares — zero shuffle at any scale, idempotent across reruns,
+    engines and cluster sizes, and STABLE UNDER APPENDS: a document's
+    split never changes when the corpus grows (the property a random
+    split lacks and a training pipeline needs for leak-free
+    incremental ingestion).  ``fractions`` must sum to 1 (±1e-9).
+    """
+    if fractions is None:
+        fractions = {"train": 0.9, "val": 0.05, "test": 0.05}
+    names = list(fractions)
+    if len(names) < 2:
+        raise ValueError("need at least two splits")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    dev = sample_deviate(F.col("doc_id"), seed)
+    acc = 0.0
+    expr = None
+    for nm in names[:-1]:
+        acc += fractions[nm]
+        cut = F.lit(int(acc * _HASH_SPACE)).cast("bigint")
+        expr = (F.when(dev < cut, F.lit(nm)) if expr is None
+                else expr.when(dev < cut, F.lit(nm)))
+    expr = expr.otherwise(F.lit(names[-1]))
+    return docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                       expr.alias("split"))
+
+
+def pack_bins(docs: DataFrame, max_tokens: int = 256,
+              n_buckets: int = 8, seed: int = 11) -> DataFrame:
+    """(doc_id, bucket, bin_id, n_tokens) — deterministic distributed
+    sequence packing for training-batch assembly: documents are
+    hashed into ``n_buckets`` independent streams (bucket = deviate %
+    n_buckets), ordered by doc_id within a stream, and packed
+    front-to-back — bin_id = exclusive-running-token-count DIV
+    max_tokens (exact integer arithmetic in both engines).
+
+    Every bin therefore holds at least one document and CLOSES at the
+    first document that carries its running count past ``max_tokens``
+    (bounded overflow: one document's tokens); a document longer than
+    ``max_tokens`` advances the counter past several bin indices,
+    occupying one bin alone.  Scale: one shuffle of (doc_id, bucket,
+    n_tokens) rows — the window sorts WITHIN a bucket, so
+    ``n_buckets`` is the parallelism knob (set it ~ the cluster's
+    partition count at 100 TB; streams are independent by
+    construction, which is what makes hash-bucketed packing scale
+    where a single global first-fit order cannot).
+    """
+    if max_tokens <= 0 or n_buckets <= 0:
+        raise ValueError("max_tokens and n_buckets must be positive")
+    base = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        (sample_deviate(F.col("doc_id"), seed) % n_buckets).alias("bucket"),
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("n_tokens"))
+    w = (Window.partitionBy("bucket").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        base.withColumn(
+            "cum", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select("doc_id", "bucket",
+                F.expr(f"cum DIV {int(max_tokens)}").alias("bin_id"),
+                "n_tokens")
     )

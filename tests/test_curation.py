@@ -156,3 +156,80 @@ def test_sample_is_subset_invariant_to_other_rows(spark):
     half = {r.doc_id for r in curation.stratified_sample(
         docs.where("doc_id < 200"), {"en": 0.4}, seed=11).collect()}
     assert half == {d for d in full if d < 200}
+
+
+# ------------------------------------------------------------ splits
+
+def test_dataset_split_partitions_and_is_append_stable(spark):
+    docs = _docs(spark, [(i, "x") for i in range(200)])
+    out = {r["doc_id"]: r["split"]
+           for r in curation.dataset_split(docs).collect()}
+    assert set(out) == set(range(200))
+    assert set(out.values()) <= {"train", "val", "test"}
+    # majority lands in train at 0.9
+    assert sum(1 for s in out.values() if s == "train") > 150
+    # append stability: the first 50 docs keep their split verbatim
+    sub = {r["doc_id"]: r["split"] for r in curation.dataset_split(
+        _docs(spark, [(i, "x") for i in range(50)])).collect()}
+    assert all(out[i] == sub[i] for i in range(50))
+
+
+def test_dataset_split_validation(spark):
+    docs = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError):
+        curation.dataset_split(docs, {"train": 0.5, "val": 0.4})
+    with pytest.raises(ValueError):
+        curation.dataset_split(docs, {"all": 1.0})
+    with pytest.raises(ValueError):
+        curation.dataset_split(docs, {"a": 1.5, "b": -0.5})
+
+
+# ------------------------------------------------------------ packing
+
+def test_pack_bins_single_bucket_sequential(spark):
+    # One bucket: docs in id order with 3 tokens each, max 6 -> two
+    # docs per bin (exclusive cumsum 0,3,6,9,... DIV 6 = 0,0,1,1,...).
+    docs = _docs(spark, [(i, "a b c") for i in range(6)])
+    out = sorted(
+        (r["doc_id"], r["bin_id"], r["n_tokens"])
+        for r in curation.pack_bins(docs, max_tokens=6,
+                                    n_buckets=1).collect())
+    assert [r[2] for r in out] == [3] * 6
+    assert [r[1] for r in out] == [0, 0, 1, 1, 2, 2]
+
+
+def test_pack_bins_long_doc_owns_its_bin(spark):
+    # doc 1 has 7 tokens (> max 4): it fills bins alone; doc 0 and 2
+    # land before/after it at the DIV boundaries.
+    docs = _docs(spark, [(0, "a b"), (1, "a b c d e f g"), (2, "a b")])
+    got = {r["doc_id"]: r["bin_id"]
+           for r in curation.pack_bins(docs, max_tokens=4,
+                                       n_buckets=1).collect()}
+    assert got[0] == 0          # cum 0
+    assert got[1] == 0          # cum 2 -> bin 0 (bounded overflow)
+    assert got[2] == 2          # cum 9 -> bin 2: the long doc consumed bin 1
+    assert curation.pack_bins(docs, max_tokens=4, n_buckets=1) \
+        .select("bucket").distinct().count() == 1
+
+
+def test_pack_bins_buckets_independent(spark):
+    docs = _docs(spark, [(i, "a b c d") for i in range(40)])
+    out = curation.pack_bins(docs, max_tokens=8, n_buckets=4).collect()
+    assert {r["bucket"] for r in out} <= set(range(4))
+    # within every bucket, bin_id is nondecreasing in doc_id order and
+    # each bin holds exactly two 4-token docs
+    by_bucket: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["bucket"], r["doc_id"])):
+        by_bucket.setdefault(r["bucket"], []).append(r["bin_id"])
+    for bins in by_bucket.values():
+        assert bins == sorted(bins)
+        for b in set(bins):
+            assert bins.count(b) == 2 or b == bins[-1]
+
+
+def test_pack_bins_validation(spark):
+    docs = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError):
+        curation.pack_bins(docs, max_tokens=0)
+    with pytest.raises(ValueError):
+        curation.pack_bins(docs, n_buckets=0)
