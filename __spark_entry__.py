@@ -77,6 +77,12 @@ SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
 PACK_MAX_TOKENS = 64
 PACK_BUCKETS = 8
 PACK_SEED = 11
+# embedding_pca (pipeline/pca.py): power-iteration count, and the
+# embedding dimensionality at every test SF (the oracle injects the
+# exact v0 = round(1/sqrt(d), 12) literal; the engine derives d from
+# the data and computes the identical start).
+PCA_K = 3
+PCA_DIM = 64
 KATZ_K = 5  # katz_k5 iteration count, both engines
 # attenuation well under 1/max_in_degree for the sf graphs, so the
 # iterates stay O(1) and the ROUND-digit comparison is robust to
@@ -654,6 +660,18 @@ def q_pack_bins(spark, sf_dir):
     return pack_bins(_read(spark, sf_dir, "documents"),
                      max_tokens=PACK_MAX_TOKENS,
                      n_buckets=PACK_BUCKETS, seed=PACK_SEED)
+
+
+def q_embedding_pca(spark, sf_dir):
+    """Leading principal direction of the embedding corpus after
+    PCA_K covariance power-iteration steps; μ and each step's matvec
+    are quantized to pca.QUANT digits in both engines, so the iterate
+    replays identically in the unrolled oracle."""
+    from pagerank_spark.pipeline.pca import pca_top_direction
+
+    out = pca_top_direction(_read(spark, sf_dir, "embeddings"),
+                            iterations=PCA_K)
+    return out.select("dim", F.round("loading", ROUND).alias("loading"))
 
 
 def q_scc(spark, sf_dir):
@@ -1605,6 +1623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   append-stable hash train/val/test splits
         "pack_bins": q_pack_bins,  # new capability: hash-bucketed
         #   deterministic sequence packing for batch assembly
+        "embedding_pca": q_embedding_pca,  # new capability: top
+        #   principal direction via covariance power iteration
         "minhash_signatures": q_minhash_signatures,  # intermediate of
         #   the minhash->LSH->jaccard pipeline the driver checks
         #   end-to-end via jaccard_pairs + dedup_clusters (demoted to
@@ -2078,6 +2098,43 @@ def _coarse_wpr_sql(rounds: int, seed: int, k: int = 3) -> str:
                           * 0.85 + 0.15 / (SELECT n FROM nn) AS pr
                   FROM vv v LEFT JOIN gg{i} g ON v.id = g.id)""")
     parts.append(f"\nSELECT id, round(pr, 9) AS pr FROM pr{k}")
+    return "".join(parts)
+
+
+def _pca_unrolled_sql(k: int, d: int) -> str:
+    """Generate the unrolled DuckDB covariance power-iteration chain
+    mirroring ``pipeline/pca.py``: μ and each step's w are rounded to
+    QUANT digits before the normalize, v0 is the exact
+    round(1/sqrt(d), QUANT) literal the engine computes."""
+    import math
+
+    from pagerank_spark.pipeline.pca import QUANT, _rq
+
+    v0 = _rq(1.0 / math.sqrt(d))
+    parts = [
+        "WITH x AS MATERIALIZED (SELECT vec_id,"
+        " (generate_subscripts(embedding, 1) - 1)::BIGINT AS dim,"
+        " unnest(embedding)::DOUBLE AS v FROM embeddings),",
+        f"mu AS MATERIALIZED (SELECT dim, round(avg(v), {QUANT}) AS mu"
+        " FROM x GROUP BY dim),",
+        "xc AS MATERIALIZED (SELECT x.vec_id, x.dim, x.v - m.mu AS v"
+        " FROM x JOIN mu m USING (dim)),",
+        f"v0 AS (SELECT dim, {v0!r}::DOUBLE AS v FROM mu)",
+    ]
+    for t in range(1, k + 1):
+        parts.append(f""",
+            s{t} AS (SELECT c.vec_id, sum(c.v * p.v) AS s
+                     FROM xc c JOIN v{t - 1} p USING (dim)
+                     GROUP BY c.vec_id),
+            w{t} AS MATERIALIZED (
+                SELECT c.dim, round(sum(s.s * c.v), {QUANT}) AS w
+                FROM xc c JOIN s{t} s USING (vec_id) GROUP BY c.dim),
+            v{t} AS MATERIALIZED (
+                SELECT dim, round(w / (SELECT sqrt(sum(w * w))
+                                       FROM w{t}), {QUANT}) AS v
+                FROM w{t})""")
+    parts.append(
+        f"\nSELECT dim, round(v, {ROUND}) AS loading FROM v{k}")
     return "".join(parts)
 
 
@@ -3212,6 +3269,7 @@ def oracle_sql() -> dict[str, str]:
         "coarse_pagerank_k3": _coarse_wpr_sql(
             MATCH_ORACLE_ROUNDS, MATCH_SEED, 3),
         "dataset_splits": _dataset_splits_sql(),
+        "embedding_pca": _pca_unrolled_sql(PCA_K, PCA_DIM),
         "pack_bins": f"""
             WITH base AS (
                 SELECT doc_id::BIGINT AS doc_id,

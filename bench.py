@@ -289,6 +289,9 @@ def main() -> None:
           lambda: similarity.ivf_assignments(
               emb, n_centroids=16, n_iters=3).agg(
               F.sum("dist2"), F.max("cluster")).collect())
+    from pagerank_spark.pipeline.pca import pca_top_direction
+    timed("embedding_pca",
+          lambda: pca_top_direction(emb, iterations=3).count())
 
     total = round(sum(timings.values()), 3)
     out = {
