@@ -2197,7 +2197,8 @@ def _spread_unrolled_sql(k: int, alpha: float, mod: int,
                     SELECT id, label, {alpha!r}::DOUBLE * g AS v FROM g{t}
                     UNION ALL
                     SELECT id, label, {one_minus!r}::DOUBLE AS v FROM seeds)
-                GROUP BY id, label)""")
+                GROUP BY id, label
+                HAVING round(sum(v), {QUANT}) <> 0.0)""")
     parts.append(f"""
         SELECT id, label, round(y, {ROUND}) AS score FROM (
             SELECT id, label, y, row_number() OVER (

@@ -141,6 +141,53 @@ def main() -> None:
     check(flagged_boiler == n_boiler,
           f"flagged boilerplate {flagged_boiler} != {n_boiler}")
 
+    # -- dataset_split: zero-shuffle projection, fractions land ----------
+    splits = curation.dataset_split(docs)
+    plan = splits._jdf.queryExecution().executedPlan().toString()
+    check("Exchange" not in plan, "dataset_split plan shuffles")
+    split_counts = timed("dataset_split", lambda: {
+        r["split"]: r["c"]
+        for r in splits.groupBy("split").agg(
+            F.count(F.lit(1)).alias("c")).collect()})
+    for nm, frac in (("train", 0.9), ("val", 0.05), ("test", 0.05)):
+        got = split_counts.get(nm, 0) / n
+        check(abs(got - frac) < 0.005,
+              f"split {nm}: {got:.4f} vs {frac}")
+
+    # -- pack_bins: every closed bin reaches max_tokens ------------------
+    PACK_MAX = 1024
+    packed = curation.pack_bins(docs, max_tokens=PACK_MAX, n_buckets=64)
+    bins = packed.groupBy("bucket", "bin_id").agg(
+        F.sum("n_tokens").alias("tok"),
+        F.count(F.lit(1)).alias("docs"))
+    last = packed.groupBy("bucket").agg(F.max("bin_id").alias("bin_id"))
+    # DIV-packing bound: a non-final bin's token sum sits within one
+    # document of the target — >= max_tokens - (longest doc - 1).
+    max_doc = packed.agg(F.max("n_tokens")).first()[0]
+    floor_tok = PACK_MAX - (max_doc - 1)
+    short = timed("pack_bins", lambda: bins.join(
+        last, ["bucket", "bin_id"], "left_anti")
+        .where(F.col("tok") < floor_tok).count())
+    check(short == 0,
+          f"{short} non-final bins under the {floor_tok}-token floor")
+    n_packed = packed.count()
+    check(n_packed == n, f"pack_bins dropped rows: {n_packed} != {n}")
+
+    # -- embedding_pca: 3 power steps over n synthetic 64-dim vectors ----
+    from pagerank_spark.pipeline.pca import pca_top_direction
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: ((F.xxhash64(F.col("id"), j) % 1000) / 1000.0)
+            .cast("float")).alias("embedding"))
+    pca_v = timed("embedding_pca", lambda: {
+        r["dim"]: r["loading"]
+        for r in pca_top_direction(emb, iterations=3).collect()})
+    nrm2 = sum(v * v for v in pca_v.values())
+    check(abs(nrm2 - 1.0) < 1e-6, f"PCA direction not unit: {nrm2}")
+    check(len(pca_v) == 64, f"PCA dims {len(pca_v)} != 64")
+
     summary = {
         "metric": "curation_smoke",
         "n_docs": n,

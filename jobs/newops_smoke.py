@@ -103,6 +103,42 @@ def main() -> None:
         ).agg(F.count(F.lit(1)).alias("forest_edges"),
               F.sum("weight").alias("total_w")).first().asDict())
 
+        # ---- round-5b additions ----
+        from pagerank_spark.operators.salsa import salsa
+        timed("salsa_k2_dense", lambda: salsa(
+            dense, n=DENSE[0], max_iter=2, tol=0.0).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("auth").alias("sum_auth")).first().asDict())
+        from pagerank_spark.operators.densest import densest_subgraph
+
+        def _densest():
+            r = densest_subgraph(dense)
+            return {"density": round(r.density, 1),
+                    "vertices": r.n_vertices, "rounds": r.rounds}
+        timed("densest_dense", _densest)
+        from pagerank_spark.operators.matching import (
+            coarsen_graph, maximal_matching)
+
+        def _match_coarsen():
+            m = maximal_matching(dense).localCheckpoint(eager=True)
+            pairs = m.count()
+            rounds = m.agg(F.max("match_round").alias("r")).first()["r"]
+            c = coarsen_graph(dense, m)
+            row = c.agg(F.count(F.lit(1)).alias("edges"),
+                        F.sum("weight").alias("wsum")).first()
+            return {"pairs": pairs, "rounds": rounds,
+                    "coarse_edges": row["edges"],
+                    "weight_sum": int(row["wsum"] or 0)}
+        timed("matching_coarsen_dense", _match_coarsen)
+        from pagerank_spark.operators.labelspread import (
+            label_spreading, modular_seeds)
+        timed("spread_k2_dense", lambda: label_spreading(
+            dense, modular_seeds(dense, 16, 4), alpha=0.85,
+            iterations=2).agg(
+                F.count(F.lit(1)).alias("labeled"),
+                F.countDistinct("label").alias("classes"))
+            .first().asDict())
+
     if wants("_sparse"):
         sparse_path = "/tmp/newops_sparse.parquet"
         if not os.path.exists(sparse_path):
@@ -142,6 +178,11 @@ def main() -> None:
             return modularity_score(sparse, labels).first().asDict()
 
         timed("modularity_cc_sparse", _modularity_cc)
+
+        # ---- round-5b additions ----
+        from pagerank_spark.operators.motifs import rectangle_count
+        timed("rectangles_cap16_sparse", lambda: rectangle_count(
+            sparse, max_degree=16).first().asDict())
 
     spark.stop()
 

@@ -107,6 +107,12 @@ def label_spreading(
             nxt = (
                 rows.groupBy("id", "label")
                 .agg(F.round(F.sum("v"), QUANT).alias("y"))
+                # Drop (vertex, class) rows whose mass quantized to
+                # zero: they carry nothing forward, and on a long run
+                # the frontier of dead rows would otherwise grow with
+                # every hop the diffusion makes past where α^t mass
+                # survives the quantization.
+                .where(F.col("y") != 0.0)
             )
             if checkpoint.should_checkpoint(it):
                 nxt = checkpoint.write_state(nxt, it).persist()

@@ -35,7 +35,8 @@ def spread_oracle(edges, seeds, alpha, k):
             nxt[key] = alpha * g
         for v, c in seeds:
             nxt[(v, c)] = nxt.get((v, c), 0.0) + (1.0 - alpha)
-        y = {key: round(val, QUANT) for key, val in nxt.items()}
+        y = {key: round(val, QUANT) for key, val in nxt.items()
+             if round(val, QUANT) != 0.0}
     best: dict[int, tuple[float, int]] = {}
     for (v, c), yv in y.items():
         cur = best.get(v)
