@@ -210,3 +210,62 @@ def test_neighborhood_gather_broadcasts_sketches(spark):
         assert "CartesianProduct" not in plan
     finally:
         plan_obj.release()
+
+
+def test_salsa_weighted_gather_broadcasts(spark):
+    # Below the broadcast bound both SALSA gathers must be broadcast
+    # hash joins over the cached split-fraction layouts — the |E| side
+    # never exchanges inside the loop.
+    from pagerank_spark.operators.salsa import salsa
+
+    out = salsa(edges_df(spark, F2_EDGES), max_iter=2, tol=0.0)
+    plan = _physical(out)
+    assert "CartesianProduct" not in plan
+
+
+def test_matching_and_coarsen_no_cartesian(spark):
+    from pagerank_spark.operators.matching import (
+        coarsen_graph, maximal_matching)
+
+    e = edges_df(spark, F2_EDGES)
+    m = maximal_matching(e, seed=1)
+    c = coarsen_graph(e, m)
+    plan = _physical(c)
+    assert "CartesianProduct" not in plan
+    # the |V|-row vertex map broadcasts under the bound
+    assert "BroadcastHashJoin" in plan
+
+
+def test_label_spreading_gather_shape(spark):
+    from pagerank_spark.operators.labelspread import (
+        label_spreading, modular_seeds)
+
+    e = edges_df(spark, F2_EDGES)
+    out = label_spreading(e, modular_seeds(e, 2, 2), iterations=2)
+    plan = _physical(out)
+    assert "CartesianProduct" not in plan
+    # the per-iteration gathers are truncated behind localCheckpoint
+    # (by design); the visible argmax must use the rank<=1 group-limit
+    # rewrite, not a full sort-then-filter
+    assert "WindowGroupLimit" in plan
+
+
+def test_pack_bins_single_shuffle(spark):
+    # One exchange total: the window's hash partition on bucket
+    # (token counting and bin arithmetic are per-row expressions).
+    from pagerank_spark.pipeline.curation import pack_bins
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(50)], "doc_id LONG, text STRING")
+    plan = _physical(pack_bins(docs, max_tokens=4, n_buckets=4))
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_dataset_split_zero_shuffle(spark):
+    from pagerank_spark.pipeline.curation import dataset_split
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(50)], "doc_id LONG, text STRING")
+    plan = _physical(dataset_split(docs))
+    assert "Exchange" not in plan
