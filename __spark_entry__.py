@@ -83,6 +83,8 @@ PACK_SEED = 11
 # the data and computes the identical start).
 PCA_K = 3
 PCA_DIM = 64
+# fiedler_vector (operators/spectral.py) power-step count, both engines.
+SPECTRAL_K = 5
 KATZ_K = 5  # katz_k5 iteration count, both engines
 # attenuation well under 1/max_in_degree for the sf graphs, so the
 # iterates stay O(1) and the ROUND-digit comparison is robust to
@@ -660,6 +662,18 @@ def q_pack_bins(spark, sf_dir):
     return pack_bins(_read(spark, sf_dir, "documents"),
                      max_tokens=PACK_MAX_TOKENS,
                      n_buckets=PACK_BUCKETS, seed=PACK_SEED)
+
+
+def q_fiedler_k5(spark, sf_dir):
+    """SPECTRAL_K shifted-Laplacian power steps toward the Fiedler
+    vector (spectral bisection direction); the deflate/normalize
+    scalars are single correctly-rounded IEEE ops on both sides and
+    the iterate is quantized per step, so the oracle's unrolled chain
+    replays it digit-for-digit."""
+    from pagerank_spark.operators.spectral import fiedler_vector
+
+    out = fiedler_vector(_edges(spark, sf_dir), iterations=SPECTRAL_K)
+    return out.select("id", F.round("fiedler", ROUND).alias("fiedler"))
 
 
 def q_embedding_pca(spark, sf_dir):
@@ -1625,6 +1639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   deterministic sequence packing for batch assembly
         "embedding_pca": q_embedding_pca,  # new capability: top
         #   principal direction via covariance power iteration
+        "fiedler_k5": q_fiedler_k5,  # new capability: spectral
+        #   bisection via shifted-Laplacian power iteration
         "minhash_signatures": q_minhash_signatures,  # intermediate of
         #   the minhash->LSH->jaccard pipeline the driver checks
         #   end-to-end via jaccard_pairs + dedup_clusters (demoted to
@@ -2098,6 +2114,58 @@ def _coarse_wpr_sql(rounds: int, seed: int, k: int = 3) -> str:
                           * 0.85 + 0.15 / (SELECT n FROM nn) AS pr
                   FROM vv v LEFT JOIN gg{i} g ON v.id = g.id)""")
     parts.append(f"\nSELECT id, round(pr, 9) AS pr FROM pr{k}")
+    return "".join(parts)
+
+
+def _fiedler_unrolled_sql(k: int) -> str:
+    """Generate the unrolled DuckDB shifted-Laplacian power chain
+    mirroring ``operators/spectral.py``: v0 = ±round(1/sqrt(n), 12)
+    by id parity, per step w = (c-d)·v + A·v over the symmetrized
+    simple graph (c = 2·max_deg exact integer), deflate by mean(w),
+    normalize, quantize to QUANT digits."""
+    from pagerank_spark.operators.spectral import QUANT
+
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGE_SQL}),",
+        "undp AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo,"
+        " greatest(src, dst) AS hi FROM edges WHERE src <> dst),",
+        "sym AS MATERIALIZED (SELECT lo AS src, hi AS dst FROM undp"
+        " UNION ALL SELECT hi, lo FROM undp),",
+        "nn AS (SELECT (max(greatest(src, dst)) + 1)::BIGINT AS n"
+        " FROM edges),",
+        "dg AS MATERIALIZED (SELECT src AS id, count(*)::DOUBLE AS d"
+        " FROM sym GROUP BY src),",
+        "cc AS (SELECT 2.0 * max(d) AS c FROM dg),",
+        "verts AS MATERIALIZED (SELECT v.id,"
+        " coalesce(dg.d, 0.0) AS d FROM (SELECT"
+        " unnest(generate_series(0, (SELECT n - 1 FROM nn)))::BIGINT"
+        " AS id) v LEFT JOIN dg ON v.id = dg.id),",
+        f"v0 AS MATERIALIZED (SELECT id, d, round(CASE WHEN id % 2 = 0"
+        f" THEN 1.0 / sqrt((SELECT n FROM nn)) ELSE"
+        f" -(1.0 / sqrt((SELECT n FROM nn))) END, {QUANT}) AS v"
+        " FROM verts)",
+    ]
+    for t in range(1, k + 1):
+        parts.append(f""",
+            g{t} AS (SELECT e.dst AS id, sum(s.v) AS g
+                     FROM sym e JOIN v{t - 1} s ON e.src = s.id
+                     GROUP BY e.dst),
+            w{t} AS MATERIALIZED (
+                SELECT s.id, s.d,
+                       ((SELECT c FROM cc) - s.d) * s.v
+                           + coalesce(g.g, 0.0) AS w
+                FROM v{t - 1} s LEFT JOIN g{t} g ON s.id = g.id),
+            m{t} AS (SELECT sum(w) / (SELECT n FROM nn) AS m FROM w{t}),
+            r{t} AS (SELECT sqrt(sum((w - (SELECT m FROM m{t}))
+                          * (w - (SELECT m FROM m{t})))) AS nr
+                     FROM w{t}),
+            v{t} AS MATERIALIZED (
+                SELECT id, d,
+                       round((w - (SELECT m FROM m{t}))
+                             / (SELECT nr FROM r{t}), {QUANT}) AS v
+                FROM w{t})""")
+    parts.append(
+        f"\nSELECT id, round(v, {ROUND}) AS fiedler FROM v{k}")
     return "".join(parts)
 
 
@@ -3271,6 +3339,7 @@ def oracle_sql() -> dict[str, str]:
             MATCH_ORACLE_ROUNDS, MATCH_SEED, 3),
         "dataset_splits": _dataset_splits_sql(),
         "embedding_pca": _pca_unrolled_sql(PCA_K, PCA_DIM),
+        "fiedler_k5": _fiedler_unrolled_sql(SPECTRAL_K),
         "pack_bins": f"""
             WITH base AS (
                 SELECT doc_id::BIGINT AS doc_id,

@@ -105,7 +105,8 @@ def main() -> None:
                        "diameter", "eigen", "closeness", "bipartite", "mis",
                        "levels", "betweenness", "neighborhood", "coreness",
                        "msf", "coloring", "densest", "rectangles",
-                       "salsa", "matching", "coarsen", "spread"}
+                       "salsa", "matching", "coarsen", "spread",
+                       "fiedler"}
     if unknown:
         raise SystemExit(f"unknown algos: {sorted(unknown)}")
 
@@ -295,6 +296,19 @@ def main() -> None:
                         F.max("color").alias("cmax")).first()
             return {"vertices": row["n"], "colors": row["cmax"] + 1}
         run("coloring", _coloring)
+    if "fiedler" in algos:
+        from pagerank_spark.operators.spectral import fiedler_vector
+
+        def _fiedler():
+            v = fiedler_vector(g.edges, n=g.n, iterations=args.max_iter)
+            row = v.agg(
+                F.sum(F.when(F.col("fiedler") > 0, 1).otherwise(0))
+                .alias("pos"),
+                F.round(F.sum(F.col("fiedler") * F.col("fiedler")), 6)
+                .alias("nrm2")).first()
+            return {"positive_side": int(row["pos"] or 0),
+                    "norm2": row["nrm2"]}
+        run("fiedler", _fiedler)
     if "spread" in algos:
         from pagerank_spark.operators.labelspread import (
             label_spreading, modular_seeds)

@@ -7,6 +7,8 @@ from __future__ import annotations
 import json
 import os
 import subprocess
+
+import pytest
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -62,10 +64,11 @@ def test_graph_job_round5b_algos(spark, tmp_path):
     got = _run("graph_job.py", "--edges", path, "--master", "local[4]",
                "--algos", "eigen,closeness,bipartite,mis,betweenness,"
                           "densest,rectangles,salsa,matching,coarsen,"
-                          "spread",
+                          "spread,fiedler",
                "--source", "0", "--max-iter", "4")
     a = got["algos"]
     assert a["spread"]["labeled"] >= 1
+    assert a["fiedler"]["norm2"] == pytest.approx(1.0, abs=1e-5)
     assert a["salsa"]["top_auth"] > 0.0
     assert a["matching"]["pairs"] >= 1
     assert a["coarsen"]["weight_sum"] >= a["coarsen"]["edges"]
