@@ -85,6 +85,9 @@ PCA_K = 3
 PCA_DIM = 64
 # fiedler_vector (operators/spectral.py) power-step count, both engines.
 SPECTRAL_K = 5
+# trustrank_k3: the TrustRank face of personalized_pagerank — uniform
+# restart over a multi-vertex trusted seed set, both engines.
+TRUST_SEEDS = (0, 16, 32, 48)
 KATZ_K = 5  # katz_k5 iteration count, both engines
 # attenuation well under 1/max_in_degree for the sf graphs, so the
 # iterates stay O(1) and the ROUND-digit comparison is robust to
@@ -662,6 +665,29 @@ def q_pack_bins(spark, sf_dir):
     return pack_bins(_read(spark, sf_dir, "documents"),
                      max_tokens=PACK_MAX_TOKENS,
                      n_buckets=PACK_BUCKETS, seed=PACK_SEED)
+
+
+def q_trustrank_k3(spark, sf_dir):
+    """TrustRank: three steps of personalized PageRank with the
+    restart distribution uniform over the TRUST_SEEDS trusted set
+    (Gyöngyi et al.'s spam-demotion scheme is exactly multi-seed PPR);
+    same operator, oracle unrolls the multi-seed restart CASE."""
+    from pagerank_spark.operators.ppr import personalized_pagerank
+
+    g = _graph(spark, sf_dir)
+    res = personalized_pagerank(g, list(TRUST_SEEDS), max_iter=3)
+    return res.ranks.select("id", F.round("pr", 9).alias("pr"))
+
+
+def q_vocab_sketch(spark, sf_dir):
+    """Per-language approximate distinct-bigram count via mergeable
+    FM sketches (one pass, bit_or partial aggs — the incremental
+    100 TB vocabulary profiler); everything up to the final estimate
+    is exact integer arithmetic, the estimate one multiply of shared
+    double literals, so the oracle reproduces it bit-for-bit."""
+    from pagerank_spark.pipeline.sketches import approx_distinct_ngrams
+
+    return approx_distinct_ngrams(_read(spark, sf_dir, "documents"), n=2)
 
 
 def q_fiedler_k5(spark, sf_dir):
@@ -1641,6 +1667,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   principal direction via covariance power iteration
         "fiedler_k5": q_fiedler_k5,  # new capability: spectral
         #   bisection via shifted-Laplacian power iteration
+        "trustrank_k3": q_trustrank_k3,  # TrustRank face: multi-seed
+        #   restart over the existing PPR operator
+        "vocab_sketch": q_vocab_sketch,  # new capability: mergeable
+        #   FM vocabulary sketch (approximate distinct n-grams)
         "minhash_signatures": q_minhash_signatures,  # intermediate of
         #   the minhash->LSH->jaccard pipeline the driver checks
         #   end-to-end via jaccard_pairs + dedup_clusters (demoted to
@@ -2114,6 +2144,80 @@ def _coarse_wpr_sql(rounds: int, seed: int, k: int = 3) -> str:
                           * 0.85 + 0.15 / (SELECT n FROM nn) AS pr
                   FROM vv v LEFT JOIN gg{i} g ON v.id = g.id)""")
     parts.append(f"\nSELECT id, round(pr, 9) AS pr FROM pr{k}")
+    return "".join(parts)
+
+
+def _vocab_sketch_sql(n_sketches: int = 8) -> str:
+    """Per-language FM bigram sketch mirroring
+    ``pipeline/sketches.py``: same md5 family, same bit_count
+    identities, same shared mantissa constants."""
+    from pagerank_spark.operators.neighborhood import est_constants
+
+    max_rho = 59
+    mask_cols = ", ".join(
+        f"bit_or(CAST(power(2, CASE WHEN h{k} = 0 THEN {max_rho}"
+        f" ELSE least(bit_count((h{k} & (-h{k})) - 1), {max_rho}) END)"
+        f" AS BIGINT)) AS s{k}"
+        for k in range(n_sketches))
+    hash_cols = ", ".join(
+        f"('0x' || substr(md5('fmg:{k}:' || gram), 1, 15))::BIGINT AS h{k}"
+        for k in range(n_sketches))
+    rho_sum = " + ".join(
+        f"CAST(bit_count((((~s{k}) & (s{k} + 1))) - 1) AS BIGINT)"
+        for k in range(n_sketches))
+    case = " ".join(
+        f"WHEN {i} THEN {c!r}"
+        for i, c in enumerate(est_constants(n_sketches)))
+    return f"""
+        WITH base AS (
+            SELECT lang AS grp,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents),
+        bi AS (SELECT grp, toks[i] || ' ' || toks[i + 1] AS gram
+               FROM (SELECT grp, toks,
+                            unnest(generate_series(1, len(toks) - 1)) AS i
+                     FROM base WHERE len(toks) >= 2)),
+        grams AS (SELECT grp, gram FROM bi WHERE gram <> ''),
+        hashed AS (SELECT grp, {hash_cols} FROM grams),
+        sk AS (SELECT grp, {mask_cols} FROM hashed GROUP BY grp),
+        f AS (SELECT grp, ({rho_sum}) AS sum_rho FROM sk)
+        SELECT grp, sum_rho,
+               round(CASE (sum_rho % {n_sketches}) {case} END
+                     * power(2, sum_rho // {n_sketches}), 6)
+                   AS distinct_est
+        FROM f
+    """
+
+
+def _trustrank_sql(seeds: tuple[int, ...], k: int = 3) -> str:
+    """Multi-seed PPR (TrustRank) unrolled chain — the ppr_k3 oracle
+    generalized to a uniform restart over ``seeds`` (weight 1/|S|)."""
+    ids = ", ".join(str(s) for s in seeds)
+    w = 1.0 / len(seeds)
+    rst = f"CASE WHEN v.id IN ({ids}) THEN {w!r} ELSE 0 END"
+    parts = [
+        f"WITH edges AS ({_EDGE_SQL}),",
+        "n AS (SELECT (max(greatest(src, dst)) + 1)::BIGINT AS n"
+        " FROM edges),",
+        "outd AS (SELECT src AS id, count(*)::DOUBLE AS od FROM edges"
+        " GROUP BY src),",
+        "verts AS (SELECT unnest(generate_series(0,"
+        " (SELECT n - 1 FROM n)))::BIGINT AS id),",
+        f"p1 AS (SELECT v.id, 0.15 * {rst} AS pr FROM verts v)",
+    ]
+    for t in range(2, k + 1):
+        parts.append(f""",
+            d{t} AS (SELECT coalesce(sum(p.pr), 0) AS d FROM p{t - 1} p
+                     LEFT JOIN outd o ON p.id = o.id WHERE o.id IS NULL),
+            g{t} AS (SELECT e.dst AS id, sum(p.pr / o.od) AS c
+                     FROM edges e JOIN p{t - 1} p ON e.src = p.id
+                     JOIN outd o ON e.src = o.id GROUP BY e.dst),
+            p{t} AS (SELECT v.id,
+                            (coalesce(g.c, 0)
+                                 + (SELECT d FROM d{t}) * {rst}) * 0.85
+                            + 0.15 * {rst} AS pr
+                     FROM verts v LEFT JOIN g{t} g ON v.id = g.id)""")
+    parts.append(f"\nSELECT id, round(pr, 9) AS pr FROM p{k}")
     return "".join(parts)
 
 
@@ -3340,6 +3444,8 @@ def oracle_sql() -> dict[str, str]:
         "dataset_splits": _dataset_splits_sql(),
         "embedding_pca": _pca_unrolled_sql(PCA_K, PCA_DIM),
         "fiedler_k5": _fiedler_unrolled_sql(SPECTRAL_K),
+        "trustrank_k3": _trustrank_sql(TRUST_SEEDS, 3),
+        "vocab_sketch": _vocab_sketch_sql(),
         "pack_bins": f"""
             WITH base AS (
                 SELECT doc_id::BIGINT AS doc_id,

@@ -1,0 +1,119 @@
+"""Mergeable Flajolet-Martin vocabulary sketches — approximate
+per-group distinct n-gram counting at corpus scale.
+
+Beyond-reference pipeline operator: exact per-language vocabulary
+size (`COUNT(DISTINCT gram)`) needs a full shuffle of every gram
+occurrence — at 100 TB that is the single most expensive profiling
+query a corpus team runs.  The sketch route keeps K 60-bit FM bitmaps
+per group: ONE pass over the gram stream, per-partition ``bit_or``
+partial aggregation (constant-size state per group per partition),
+and sketches from different corpus shards / ingestion days MERGE by
+OR — the property that makes the statistic maintainable incrementally
+without ever re-reading old data.
+
+This reuses the exact FM machinery of the HyperBall neighborhood
+operator (``operators/neighborhood.py`` — same md5 hash family, same
+``bit_count`` trailing-zero identities, same shared mantissa
+constants), pointed at text instead of vertex ids.  Everything up to
+the final estimate is exact integer arithmetic, so any engine with
+md5 and integer bit ops reproduces the sketch bit-for-bit; the
+estimate itself is ONE multiply of identical double literals
+(``est_constants``) — no log2 ulp drift.
+
+Estimator (Flajolet-Martin 1985): with sum_rho the sum over the K
+sketches of the lowest-unset-bit index,
+
+    distinct_est = C[sum_rho mod K] · 2^(sum_rho div K),
+    C[i] = 2^(i/K) / 0.77351.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pagerank_spark.operators.neighborhood import (
+    FM_PHI,
+    MAX_RHO,
+    est_constants,
+)
+from pagerank_spark.pipeline.curation import _grams, _tokens
+
+N_SKETCHES = 8
+
+
+def _gram_hash60(col, k: int):
+    """Portable 60-bit md5 hash of 'fmg:{k}:{gram}' (DuckDB:
+    ('0x' || substr(md5('fmg:{k}:' || gram), 1, 15))::BIGINT)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"fmg:{k}:"), col)), 1, 15),
+        16, 10,
+    ).cast("bigint")
+
+
+def _fm_mask(h):
+    """2^min(trailing_zeros(h), MAX_RHO) with the h == 0 guard —
+    identical to the neighborhood sketch init."""
+    p = F.when(h == 0, F.lit(MAX_RHO)).otherwise(
+        F.least(F.bit_count(h.bitwiseAND(-h) - F.lit(1)).cast("int"),
+                F.lit(MAX_RHO)))
+    return F.pow(F.lit(2.0), p).cast("bigint")
+
+
+def ngram_fm_sketches(docs: DataFrame, n: int = 2,
+                      n_sketches: int = N_SKETCHES,
+                      group_col: str = "lang") -> DataFrame:
+    """(group, s0..s{K-1}): per-group FM sketches over the corpus's
+    n-gram stream (empty grams excluded, matching corpus_ngrams).
+    Sketches of disjoint shards combine with ``bit_or`` — merge
+    tables from incremental runs before :func:`finalize_sketches`."""
+    grams = (
+        docs.select(F.col(group_col).alias("grp"),
+                    F.explode(_grams(_tokens(F.col("text")), n))
+                    .alias("gram"))
+        .where(F.col("gram") != "")
+    )
+    aggs = [
+        F.bit_or(_fm_mask(_gram_hash60(F.col("gram"), k))).alias(f"s{k}")
+        for k in range(n_sketches)
+    ]
+    return grams.groupBy("grp").agg(*aggs)
+
+
+def finalize_sketches(sketches: DataFrame,
+                      n_sketches: int = N_SKETCHES) -> DataFrame:
+    """(grp, sum_rho, distinct_est) from a (merged) sketch table."""
+    rhos = []
+    for k in range(n_sketches):
+        s = F.col(f"s{k}")
+        mask = F.bitwise_not(s).bitwiseAND(s + F.lit(1))
+        rhos.append(F.bit_count(mask - F.lit(1)).cast("bigint"))
+    sum_rho = rhos[0]
+    for r in rhos[1:]:
+        sum_rho = sum_rho + r
+    consts = est_constants(n_sketches)
+    cexpr = None
+    for i, c in enumerate(consts):
+        cond = (F.col("sum_rho") % n_sketches) == i
+        cexpr = (F.when(cond, F.lit(c)) if cexpr is None
+                 else cexpr.when(cond, F.lit(c)))
+    return (
+        sketches.withColumn("sum_rho", sum_rho)
+        .select(
+            "grp", "sum_rho",
+            F.round(
+                cexpr * F.pow(F.lit(2.0),
+                              F.expr(f"sum_rho DIV {n_sketches}")
+                              .cast("double")), 6).alias("distinct_est"))
+    )
+
+
+def approx_distinct_ngrams(docs: DataFrame, n: int = 2,
+                           n_sketches: int = N_SKETCHES,
+                           group_col: str = "lang") -> DataFrame:
+    """(grp, sum_rho, distinct_est) — one-pass approximate vocabulary
+    size per group (module docstring)."""
+    return finalize_sketches(
+        ngram_fm_sketches(docs, n=n, n_sketches=n_sketches,
+                          group_col=group_col),
+        n_sketches=n_sketches)

@@ -1,0 +1,88 @@
+"""FM vocabulary sketches: merge law, estimator sanity, determinism
+(SURVEY.md §5 strategy); the sf0.01 cross-engine parity runs in
+tests/test_entry_contract.py."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from pagerank_spark.pipeline.sketches import (
+    N_SKETCHES,
+    approx_distinct_ngrams,
+    finalize_sketches,
+    ngram_fm_sketches,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id BIGINT, lang STRING, text STRING")
+
+
+def _corpus(seed, n_docs, vocab):
+    rng = random.Random(seed)
+    return [(i, "en", " ".join(rng.choice(vocab) for _ in range(30)))
+            for i in range(n_docs)]
+
+
+def test_sketch_merge_law(spark):
+    vocab = [f"w{i}" for i in range(200)]
+    rows = _corpus(1, 60, vocab)
+    whole = ngram_fm_sketches(_docs(spark, rows)).collect()[0]
+    a = ngram_fm_sketches(_docs(spark, rows[:30]))
+    b = ngram_fm_sketches(_docs(spark, rows[30:]))
+    merged = (
+        a.unionByName(b).groupBy("grp")
+        .agg(*[F.bit_or(f"s{k}").alias(f"s{k}")
+               for k in range(N_SKETCHES)])
+        .collect()[0]
+    )
+    for k in range(N_SKETCHES):
+        assert whole[f"s{k}"] == merged[f"s{k}"]
+    # finalize over the merged table equals the whole-corpus estimate
+    w = finalize_sketches(ngram_fm_sketches(_docs(spark, rows))).collect()
+    m = finalize_sketches(
+        a.unionByName(b).groupBy("grp").agg(
+            *[F.bit_or(f"s{k}").alias(f"s{k}")
+              for k in range(N_SKETCHES)])).collect()
+    assert sorted(map(tuple, w)) == sorted(map(tuple, m))
+
+
+def test_sketch_estimate_in_range(spark):
+    # ~2000 distinct bigrams; FM with K=8 has ~39% stderr — assert a
+    # generous factor-2.5 band, which a broken sketch cannot hit.
+    vocab = [f"w{i}" for i in range(80)]
+    rows = _corpus(7, 400, vocab)
+    out = approx_distinct_ngrams(_docs(spark, rows)).collect()
+    assert len(out) == 1
+    true_distinct = len({
+        f"{a} {b}"
+        for _, _, t in rows
+        for a, b in zip(t.split(), t.split()[1:])})
+    est = out[0]["distinct_est"]
+    assert true_distinct / 2.5 <= est <= true_distinct * 2.5
+
+
+def test_sketch_deterministic_and_order_blind(spark):
+    vocab = [f"w{i}" for i in range(50)]
+    rows = _corpus(3, 40, vocab)
+    a = approx_distinct_ngrams(_docs(spark, rows)).collect()
+    b = approx_distinct_ngrams(
+        _docs(spark, list(reversed(rows)))).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_sketch_groups_independent(spark):
+    rows = [(0, "en", "a b c d"), (1, "de", "x y z w q r s t u v")]
+    out = {r["grp"]: r["distinct_est"]
+           for r in approx_distinct_ngrams(_docs(spark, rows)).collect()}
+    assert set(out) == {"en", "de"}
+    assert out["de"] > out["en"] * 0.5  # more bigrams -> not collapsed
+
+
+def test_sketch_unigram_face(spark):
+    rows = [(0, "en", "alpha beta alpha")]
+    out = approx_distinct_ngrams(_docs(spark, rows), n=1).collect()
+    assert len(out) == 1 and out[0]["sum_rho"] >= 0
