@@ -88,6 +88,10 @@ SPECTRAL_K = 5
 # trustrank_k3: the TrustRank face of personalized_pagerank — uniform
 # restart over a multi-vertex trusted seed set, both engines.
 TRUST_SEEDS = (0, 16, 32, 48)
+# count-min sketch (pipeline/sketches.py), both engines.
+CMS_WIDTH = 1024
+CMS_DEPTH = 4
+CMS_TOPK = 20
 KATZ_K = 5  # katz_k5 iteration count, both engines
 # attenuation well under 1/max_in_degree for the sf graphs, so the
 # iterates stay O(1) and the ROUND-digit comparison is robust to
@@ -688,6 +692,38 @@ def q_vocab_sketch(spark, sf_dir):
     from pagerank_spark.pipeline.sketches import approx_distinct_ngrams
 
     return approx_distinct_ngrams(_read(spark, sf_dir, "documents"), n=2)
+
+
+def q_cms_counts(spark, sf_dir):
+    """Count-min frequency estimates for the corpus's exact top-20
+    unigrams next to their true counts (the CMS never under-counts;
+    the oracle reproduces every integer cell exactly)."""
+    from pagerank_spark.pipeline.sketches import (
+        cms_estimate, count_min_sketch)
+    from pagerank_spark.pipeline.curation import _grams, _tokens
+
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    grams = (
+        docs.select(F.explode(_grams(_tokens(F.col("text")), 1))
+                    .alias("gram"))
+        .where(F.col("gram") != "")
+    )
+    exact = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("exact_cnt"))
+    w = Window.orderBy(F.desc("exact_cnt"), F.asc("gram"))
+    probes = (exact.withColumn("rnk", F.row_number().over(w))
+              .where(F.col("rnk") <= CMS_TOPK)
+              .select("gram", "exact_cnt")
+              .localCheckpoint(eager=True))
+    sketch = count_min_sketch(docs, n=1, width=CMS_WIDTH,
+                              depth=CMS_DEPTH)
+    est = cms_estimate(sketch, probes.select("gram"),
+                       width=CMS_WIDTH, depth=CMS_DEPTH)
+    return probes.join(est, "gram").select(
+        "gram", "exact_cnt", F.col("cms_est").cast("bigint")
+        .alias("cms_est"))
 
 
 def q_fiedler_k5(spark, sf_dir):
@@ -1671,6 +1707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   restart over the existing PPR operator
         "vocab_sketch": q_vocab_sketch,  # new capability: mergeable
         #   FM vocabulary sketch (approximate distinct n-grams)
+        "cms_counts": q_cms_counts,  # new capability: count-min
+        #   bounded-memory frequency estimates vs exact top-k
         "minhash_signatures": q_minhash_signatures,  # intermediate of
         #   the minhash->LSH->jaccard pipeline the driver checks
         #   end-to-end via jaccard_pairs + dedup_clusters (demoted to
@@ -2186,6 +2224,43 @@ def _vocab_sketch_sql(n_sketches: int = 8) -> str:
                      * power(2, sum_rho // {n_sketches}), 6)
                    AS distinct_est
         FROM f
+    """
+
+
+def _cms_counts_sql(width: int, depth: int, topk: int) -> str:
+    """Count-min cells + top-k probe estimates mirroring
+    ``pipeline/sketches.count_min_sketch`` / ``cms_estimate`` — every
+    cell is an exact integer from the same md5 row hashes."""
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {k} AS k, (('0x' || substr(md5('cms:{k}:' || gram),"
+        f" 1, 15))::BIGINT % {width}) AS bucket FROM g2"
+        for k in range(depth))
+    probe_rows = " UNION ALL ".join(
+        f"SELECT gram, {k} AS k, (('0x' || substr(md5('cms:{k}:' || gram),"
+        f" 1, 15))::BIGINT % {width}) AS bucket FROM probes"
+        for k in range(depth))
+    return f"""
+        WITH base AS (
+            SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents),
+        grams AS (SELECT unnest(toks) AS gram FROM base
+                  WHERE len(toks) >= 1),
+        g2 AS (SELECT gram FROM grams WHERE gram <> ''),
+        exact AS (SELECT gram, count(*)::BIGINT AS exact_cnt
+                  FROM g2 GROUP BY gram),
+        probes AS (SELECT gram, exact_cnt FROM exact
+                   ORDER BY exact_cnt DESC, gram ASC LIMIT {topk}),
+        cells AS (SELECT k, bucket, count(*)::BIGINT AS cnt
+                  FROM ({cell_rows})
+                  GROUP BY k, bucket),
+        look AS ({probe_rows}),
+        est AS (SELECT l.gram,
+                       min(coalesce(c.cnt, 0))::BIGINT AS cms_est
+                FROM look l LEFT JOIN cells c
+                    ON l.k = c.k AND l.bucket = c.bucket
+                GROUP BY l.gram)
+        SELECT p.gram, p.exact_cnt, e.cms_est
+        FROM probes p JOIN est e ON p.gram = e.gram
     """
 
 
@@ -3446,6 +3521,7 @@ def oracle_sql() -> dict[str, str]:
         "fiedler_k5": _fiedler_unrolled_sql(SPECTRAL_K),
         "trustrank_k3": _trustrank_sql(TRUST_SEEDS, 3),
         "vocab_sketch": _vocab_sketch_sql(),
+        "cms_counts": _cms_counts_sql(CMS_WIDTH, CMS_DEPTH, CMS_TOPK),
         "pack_bins": f"""
             WITH base AS (
                 SELECT doc_id::BIGINT AS doc_id,

@@ -117,3 +117,63 @@ def approx_distinct_ngrams(docs: DataFrame, n: int = 2,
         ngram_fm_sketches(docs, n=n, n_sketches=n_sketches,
                           group_col=group_col),
         n_sketches=n_sketches)
+
+
+# ------------------------------------------------------------ count-min
+
+def _cms_hash(col, k: int):
+    """Portable 60-bit md5 hash of 'cms:{k}:{gram}'."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"cms:{k}:"), col)), 1, 15),
+        16, 10,
+    ).cast("bigint")
+
+
+def count_min_sketch(docs: DataFrame, n: int = 1, width: int = 1024,
+                     depth: int = 4) -> DataFrame:
+    """(k, bucket, cnt) — a depth×width count-min sketch of the
+    corpus n-gram frequency stream (Cormode-Muthukrishnan 2005).
+
+    The sketch is depth·width integers REGARDLESS of vocabulary size
+    — the bounded-memory answer to "how often does gram g occur?" at
+    100 TB, where the exact gram→count table is itself corpus-sized.
+    One pass, map-side-combined integer sums; sketches of disjoint
+    shards merge by adding counts cell-wise.  Deterministic md5 row
+    hashes: any engine reproduces every cell exactly.
+    """
+    grams = (
+        docs.select(F.explode(_grams(_tokens(F.col("text")), n))
+                    .alias("gram"))
+        .where(F.col("gram") != "")
+    )
+    rows = [
+        grams.select(F.lit(k).alias("k"),
+                     (_cms_hash(F.col("gram"), k) % width).alias("bucket"))
+        for k in range(depth)
+    ]
+    allrows = rows[0]
+    for r in rows[1:]:
+        allrows = allrows.unionByName(r)
+    return allrows.groupBy("k", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame,
+                 width: int = 1024, depth: int = 4) -> DataFrame:
+    """(gram, cms_est) — the count-min upper-bound estimate
+    min_k sketch[k][h_k(gram) % width] for every probe gram; never
+    under-counts (est >= true frequency), over-counts only by
+    collision mass.  The |probes|-side is broadcast-joined against
+    the constant-size sketch."""
+    lookups = None
+    for k in range(depth):
+        l = probes.select(
+            "gram", F.lit(k).alias("k"),
+            (_cms_hash(F.col("gram"), k) % width).alias("bucket"))
+        lookups = l if lookups is None else lookups.unionByName(l)
+    return (
+        lookups.join(F.broadcast(sketch), ["k", "bucket"], "left")
+        .groupBy("gram")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )

@@ -86,3 +86,42 @@ def test_sketch_unigram_face(spark):
     rows = [(0, "en", "alpha beta alpha")]
     out = approx_distinct_ngrams(_docs(spark, rows), n=1).collect()
     assert len(out) == 1 and out[0]["sum_rho"] >= 0
+
+
+# ------------------------------------------------------------ count-min
+
+def test_cms_never_undercounts_and_exact_when_sparse(spark):
+    from pagerank_spark.pipeline.sketches import (
+        cms_estimate, count_min_sketch)
+
+    rows = [(0, "en", "apple banana apple"), (1, "en", "banana cherry")]
+    docs = _docs(spark, rows)
+    sk = count_min_sketch(docs, n=1)
+    probes = spark.createDataFrame(
+        [("apple",), ("banana",), ("cherry",), ("durian",)],
+        "gram STRING")
+    est = {r["gram"]: r["cms_est"]
+           for r in cms_estimate(sk, probes).collect()}
+    exact = {"apple": 2, "banana": 2, "cherry": 1, "durian": 0}
+    for g, c in exact.items():
+        assert est[g] >= c
+    # 3 distinct grams in a 4x1024 sketch: no collisions, so exact
+    assert est["apple"] == 2 and est["banana"] == 2
+    assert est["cherry"] == 1 and est["durian"] == 0
+
+
+def test_cms_shard_merge_by_cell_addition(spark):
+    from pagerank_spark.pipeline.sketches import (
+        cms_estimate, count_min_sketch)
+
+    vocab = [f"w{i}" for i in range(30)]
+    rows = _corpus(9, 40, vocab)
+    whole = count_min_sketch(_docs(spark, rows), n=1)
+    a = count_min_sketch(_docs(spark, rows[:20]), n=1)
+    b = count_min_sketch(_docs(spark, rows[20:]), n=1)
+    merged = (a.unionByName(b).groupBy("k", "bucket")
+              .agg(F.sum("cnt").alias("cnt")))
+    probes = spark.createDataFrame([(w,) for w in vocab], "gram STRING")
+    e1 = sorted(map(tuple, cms_estimate(whole, probes).collect()))
+    e2 = sorted(map(tuple, cms_estimate(merged, probes).collect()))
+    assert e1 == e2
