@@ -66,7 +66,8 @@ MATCH_ORACLE_ROUNDS = 24
 MATCH_SEED = 42
 # label_spreading (operators/labelspread.py), both engines: damping,
 # step count, and the deterministic modular seed rule (every vertex
-# with id % SPREAD_MOD == 0 seeded with class id % SPREAD_CLASSES).
+# with id % SPREAD_MOD == 0 seeded with class
+# (id DIV SPREAD_MOD) % SPREAD_CLASSES).
 SPREAD_ALPHA = 0.85
 SPREAD_K = 6
 SPREAD_MOD = 16
@@ -2422,7 +2423,8 @@ def _spread_unrolled_sql(k: int, alpha: float, mod: int,
         f"WITH edges AS MATERIALIZED ({_EDGE_SQL}),",
         "verts AS (SELECT DISTINCT src AS id FROM edges"
         " UNION SELECT DISTINCT dst FROM edges),",
-        f"seeds AS MATERIALIZED (SELECT id, id % {n_classes} AS label"
+        f"seeds AS MATERIALIZED (SELECT id,"
+        f" ((id // {mod}) % {n_classes}) AS label"
         f" FROM verts WHERE id % {mod} = 0),",
         "undp AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo,"
         " greatest(src, dst) AS hi FROM edges WHERE src <> dst),",

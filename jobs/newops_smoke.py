@@ -179,10 +179,23 @@ def main() -> None:
 
         timed("modularity_cc_sparse", _modularity_cc)
 
+    if wants("_er"):
         # ---- round-5b additions ----
+        # The zipf "sparse" face has min degree 57 (every cap below
+        # that excludes the whole graph), so the rectangle census gets
+        # its own Erdős–Rényi-ish face: 10M vertices / 30M random
+        # edges (avg deg ~6), where a cap of 64 is binding for the
+        # hub tail while covering ~every vertex — the realistic
+        # web-fringe shape the degree cap is designed for.
         from pagerank_spark.operators.motifs import rectangle_count
-        timed("rectangles_cap16_sparse", lambda: rectangle_count(
-            sparse, max_degree=16).first().asDict())
+        er = spark.range(30_000_000).select(
+            (F.xxhash64(F.col("id"), F.lit(1)) % 10_000_000)
+            .alias("src"),
+            (F.xxhash64(F.col("id"), F.lit(2)) % 10_000_000)
+            .alias("dst"))
+        er = er.select(F.abs("src").alias("src"), F.abs("dst").alias("dst"))
+        timed("rectangles_cap64_er", lambda: rectangle_count(
+            er, max_degree=64).first().asDict())
 
     spark.stop()
 

@@ -142,8 +142,11 @@ def label_spreading(
 def modular_seeds(edges: DataFrame, mod: int, n_classes: int) -> DataFrame:
     """Deterministic demo/benchmark seed set over the vertices
     mentioned in ``edges``: every vertex with id % mod == 0 is seeded
-    with class id % n_classes (both engines derive the identical
-    table)."""
+    with class (id DIV mod) % n_classes — the quotient, NOT the
+    residue, so the classes stay distinct even when ``mod`` is a
+    multiple of ``n_classes`` (id % mod == 0 forces id % n_classes
+    == 0 there, which would collapse every seed into class 0).  Both
+    engines derive the identical table."""
     verts = (
         edges.select(F.col("src").cast("bigint").alias("id"))
         .unionByName(edges.select(F.col("dst").cast("bigint").alias("id")))
@@ -151,5 +154,6 @@ def modular_seeds(edges: DataFrame, mod: int, n_classes: int) -> DataFrame:
     )
     return (
         verts.where(F.col("id") % mod == 0)
-        .select("id", (F.col("id") % n_classes).alias("label"))
+        .select("id",
+                (F.expr(f"id DIV {int(mod)}") % n_classes).alias("label"))
     )

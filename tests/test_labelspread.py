@@ -92,7 +92,9 @@ def test_spreading_alpha_bounds(spark):
 
 
 def test_modular_seeds_rule(spark):
-    e = edges_df(spark, [(0, 16), (16, 33), (32, 5)])
+    # class = (id DIV mod) % n_classes: distinct classes even though
+    # mod is a multiple of n_classes
+    e = edges_df(spark, [(0, 16), (16, 33), (32, 5), (48, 7)])
     rows = {(r["id"], r["label"])
             for r in modular_seeds(e, 16, 4).collect()}
-    assert rows == {(0, 0), (16, 0), (32, 0)}
+    assert rows == {(0, 0), (16, 1), (32, 2), (48, 3)}
