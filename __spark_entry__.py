@@ -727,6 +727,21 @@ def q_cms_counts(spark, sf_dir):
         .alias("cms_est"))
 
 
+def q_media_resized(spark, sf_dir):
+    """Metadata face of the nearest-neighbor resize stage (the same
+    contract class as media_metadata/video_frames: the driver checks
+    the schema/row/shape parity; pixel-exactness vs a numpy reference
+    is pinned in tests/test_pipeline.py)."""
+    from pagerank_spark.pipeline.multimodal import (
+        resize_media, synthesize_media)
+
+    m = synthesize_media(_read(spark, sf_dir, "documents"),
+                         kind="image", portable_meta=True)
+    return resize_media(m, out_w=16, out_h=16).select(
+        "doc_id", "width", "height", "channels",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"))
+
+
 def q_fiedler_k5(spark, sf_dir):
     """SPECTRAL_K shifted-Laplacian power steps toward the Fiedler
     vector (spectral bisection direction); the deflate/normalize
@@ -1710,6 +1725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   FM vocabulary sketch (approximate distinct n-grams)
         "cms_counts": q_cms_counts,  # new capability: count-min
         #   bounded-memory frequency estimates vs exact top-k
+        "media_resized": q_media_resized,  # new capability: NN image
+        #   resize stage (metadata face; pixel-exact in pytest)
         "minhash_signatures": q_minhash_signatures,  # intermediate of
         #   the minhash->LSH->jaccard pipeline the driver checks
         #   end-to-end via jaccard_pairs + dedup_clusters (demoted to
@@ -3524,6 +3541,13 @@ def oracle_sql() -> dict[str, str]:
         "trustrank_k3": _trustrank_sql(TRUST_SEEDS, 3),
         "vocab_sketch": _vocab_sketch_sql(),
         "cms_counts": _cms_counts_sql(CMS_WIDTH, CMS_DEPTH, CMS_TOPK),
+        # Fake-face resize of the synthetic (non-netpbm) corpus: every
+        # payload resamples to a 16x16 single-channel P5 body.
+        "media_resized": """
+            SELECT doc_id::BIGINT AS doc_id, 16 AS width, 16 AS height,
+                   1 AS channels, 256::BIGINT AS n_bytes
+            FROM documents
+        """,
         "pack_bins": f"""
             WITH base AS (
                 SELECT doc_id::BIGINT AS doc_id,

@@ -96,14 +96,11 @@ def _is_wav(payload: bytes) -> bool:
         and payload[8:12] == b"WAVE"
 
 
-def _decode_pnm(payload: bytes) -> "object":
-    """REAL image decode, numpy-only: binary netpbm (P6 RGB / P5
-    gray, maxval <= 255) — text header (whitespace-separated width,
-    height, maxval; ``#`` comments) followed by the raw sample
-    buffer.  Returns the flat uint8 pixel array, byte-identical to
-    what PIL returns for the same file (tested)."""
-    import numpy as np
-
+def _parse_pnm(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a binary netpbm header: (width, height, maxval,
+    data_offset, channels).  Text header = whitespace-separated
+    width, height, maxval with ``#`` comments; exactly one whitespace
+    byte separates maxval from the sample buffer."""
     magic = payload[:2]
     fields: list[int] = []
     i = 2
@@ -121,12 +118,24 @@ def _decode_pnm(payload: bytes) -> "object":
             raise ValueError("truncated netpbm header")
         fields.append(int(payload[i:j]))
         i = j
-    i += 1  # exactly one whitespace byte separates maxval from data
+    i += 1
     w, h, maxval = fields
     if maxval > 255:
         raise ValueError("16-bit netpbm not supported")
-    n = w * h * (3 if magic == b"P6" else 1)
-    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i)
+    return w, h, maxval, i, (3 if magic == b"P6" else 1)
+
+
+def _decode_pnm(payload: bytes) -> "object":
+    """REAL image decode, numpy-only: binary netpbm (P6 RGB / P5
+    gray, maxval <= 255) — text header (whitespace-separated width,
+    height, maxval; ``#`` comments) followed by the raw sample
+    buffer.  Returns the flat uint8 pixel array, byte-identical to
+    what PIL returns for the same file (tested)."""
+    import numpy as np
+
+    w, h, _maxval, off, ch = _parse_pnm(payload)
+    n = w * h * ch
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=off)
     if arr.size < n:
         raise ValueError("truncated netpbm payload")
     return arr
@@ -370,3 +379,100 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     return base.select(
         "doc_id", F.col("frame_no").cast("int").alias("frame_no"),
         F.sha2(chunk, 256).alias("frame_sha"))
+
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def _resize_nn(arr, w: int, h: int, ch: int, out_w: int, out_h: int):
+    """Nearest-neighbor resize with the floor index map
+    src = (dst * src_dim) // dst_dim — exact integer arithmetic, so
+    the kernel is bit-reproducible on any platform (no float centers,
+    no rounding-mode dependence)."""
+    import numpy as np
+
+    img = arr.reshape(h, w, ch)
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return img[ys][:, xs]
+
+
+def resize_media(media: DataFrame, out_w: int = 32, out_h: int = 32,
+                 require_real_codecs: bool = False) -> DataFrame:
+    """(doc_id, kind, width, height, channels, n_bytes, payload) —
+    every image resized to ``out_w`` × ``out_h`` by deterministic
+    nearest-neighbor (:func:`_resize_nn`), re-encoded in its own
+    netpbm format (P6 stays RGB, P5 stays gray, canonical
+    ``P6\\n{w} {h}\\n255\\n`` header).
+
+    REAL path: payloads that sniff as binary netpbm decode, resize
+    and re-encode with the numpy-only codec (no libraries).  Anything
+    else takes the deterministic FAKE face — the payload's byte
+    stream resampled to ``out_w·out_h`` single-channel samples with
+    the same floor index map — or, with ``require_real_codecs=True``,
+    raises on the first payload no real decoder handles (the
+    extract_features contract).
+
+    Physical shape: one Arrow ``mapInPandas`` pass; the per-item
+    decode/re-encode is inherently per-object, the index maps are
+    vectorized, and nothing shuffles — at 100 TB this is a pure map
+    stage whose parallelism is the scan's.
+    """
+    import numpy as np
+
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("out_w and out_h must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "kind": [], "width": [], "height": [],
+                   "channels": [], "n_bytes": [], "payload": []}
+            for doc_id, kind, payload in zip(
+                    pdf["doc_id"], pdf["kind"], pdf["payload"]):
+                p = bytes(payload)
+                if kind == "image" and _is_pnm(p):
+                    w, h, _mx, off, ch = _parse_pnm(p)
+                    n = w * h * ch
+                    arr = np.frombuffer(p, dtype=np.uint8,
+                                        count=n, offset=off)
+                    if arr.size < n:
+                        if require_real_codecs:
+                            raise ValueError("truncated netpbm payload")
+                        arr, w, h, ch = _fake_decode(p), len(p), 1, 1
+                        resized = _resize_nn(
+                            arr if arr.size else np.zeros(1, np.uint8),
+                            max(w, 1), 1, 1, out_w, out_h)
+                        magic = b"P5"
+                    else:
+                        resized = _resize_nn(arr, w, h, ch, out_w, out_h)
+                        magic = b"P6" if ch == 3 else b"P5"
+                elif require_real_codecs:
+                    raise NotImplementedError(
+                        f"no real resize codec for this {kind!r} payload")
+                else:
+                    flat = _fake_decode(p)
+                    ch, magic = 1, b"P5"
+                    resized = _resize_nn(
+                        flat if flat.size else np.zeros(1, np.uint8),
+                        max(flat.size, 1), 1, 1, out_w, out_h)
+                body = resized.astype(np.uint8).tobytes()
+                enc = magic + b"\n%d %d\n255\n" % (out_w, out_h) + body
+                out["doc_id"].append(doc_id)
+                out["kind"].append(kind)
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["channels"].append(resized.shape[2])
+                out["n_bytes"].append(len(body))
+                out["payload"].append(enc)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "kind", "payload").mapInPandas(
+        run, schema=RESIZE_SCHEMA)

@@ -808,3 +808,62 @@ def test_unigram_logprob_hand_computed(spark):
     assert rows[3]["n_tokens"] == 0 and rows[3]["avg_logprob"] is None
     # the rare-token doc ranks below the common-token doc
     assert rows[2]["avg_logprob"] < rows[1]["avg_logprob"]
+
+
+# ------------------------------------------------------------ resize
+
+def test_resize_p6_matches_numpy_reference(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(10, 14, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(_ppm_bytes(img)))],
+        "doc_id LONG, kind STRING, payload BINARY")
+    row = multimodal.resize_media(media, out_w=5, out_h=4).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (5, 4, 3)
+    out = multimodal._decode_pnm(bytes(row["payload"]))
+    # brute-force floor-map reference
+    ref = np.zeros((4, 5, 3), dtype=np.uint8)
+    for y in range(4):
+        for x in range(5):
+            ref[y, x] = img[(y * 10) // 4, (x * 14) // 5]
+    assert np.array_equal(out.reshape(4, 5, 3), ref)
+
+
+def test_resize_identity_roundtrips_pixels(spark):
+    import numpy as np
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(_ppm_bytes(img)))],
+        "doc_id LONG, kind STRING, payload BINARY")
+    row = multimodal.resize_media(media, out_w=3, out_h=2).collect()[0]
+    out = multimodal._decode_pnm(bytes(row["payload"]))
+    assert np.array_equal(out.reshape(2, 3, 3), img)
+
+
+def test_resize_fake_face_shape_and_require_raises(spark):
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"not an image at all"))],
+        "doc_id LONG, kind STRING, payload BINARY")
+    row = multimodal.resize_media(media, out_w=16, out_h=16).collect()[0]
+    assert row["n_bytes"] == 256 and row["channels"] == 1
+    assert bytes(row["payload"])[:3] == b"P5\n"
+    import pytest as _pytest
+
+    with _pytest.raises(Exception,
+                        match="no real resize codec|NotImplemented"):
+        multimodal.resize_media(
+            media, out_w=4, out_h=4,
+            require_real_codecs=True).collect()
+
+
+def test_resize_validation(spark):
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"x"))],
+        "doc_id LONG, kind STRING, payload BINARY")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.resize_media(media, out_w=0)
