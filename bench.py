@@ -178,6 +178,15 @@ def main() -> None:
     from pagerank_spark.operators.matching import coarsen_graph
     timed("coarsen_graph",
           lambda: coarsen_graph(g.edges, seed=42).count())
+    from pagerank_spark.operators.spectral import fiedler_vector
+    timed("fiedler_k8",
+          lambda: fiedler_vector(g.edges, n=g.n, iterations=8).count())
+    from pagerank_spark.operators.labelspread import (
+        label_spreading, modular_seeds)
+    timed("label_spreading_k4",
+          lambda: label_spreading(
+              g.edges, modular_seeds(g.edges, 16, 4),
+              iterations=4).count())
     # rectangle_count is deliberately NOT benched at sf0.1: the exact
     # 4-cycle census generates 172M wedge rows here (~56s of honest
     # shuffle — it would dominate the bench total without measuring
@@ -247,6 +256,15 @@ def main() -> None:
     timed("doc_dup_fraction",
           lambda: dedup.duplication_fraction(docs).agg(
               F.sum("dup_frac_q6")).collect())
+    from pagerank_spark.pipeline.sketches import approx_distinct_ngrams
+    timed("vocab_sketch",
+          lambda: approx_distinct_ngrams(
+              docs.withColumn("lang", (F.col("doc_id") % 4)
+                              .cast("string")), n=2).count())
+    from pagerank_spark.pipeline.curation import pack_bins
+    timed("pack_bins",
+          lambda: pack_bins(docs, max_tokens=1024, n_buckets=32)
+          .agg(F.max("bin_id")).collect())
     timed("dedup_clusters",
           lambda: dedup.near_dup_clusters(
               docs, threshold=0.8, max_df=100).count())
