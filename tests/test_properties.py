@@ -119,3 +119,70 @@ def test_blank_text_document(spark):
     assert textstats.quality_scores(docs).count() == 2
     # blank texts produce the empty-ish shingle; engine must not throw
     assert dedup.minhash_signatures(docs, 4).count() == 8
+
+
+@given(edges=edges_strategy)
+@SLOW
+def test_matching_properties_on_arbitrary_graphs(spark, edges):
+    from pagerank_spark.operators.matching import maximal_matching
+
+    pairs = [(r["lo"], r["hi"])
+             for r in maximal_matching(edges_df(spark, edges),
+                                       seed=5).collect()]
+    used = [v for p in pairs for v in p]
+    assert len(used) == len(set(used))          # matching
+    matched = set(used)
+    for s, d in edges:                          # maximal
+        if s != d:
+            assert s in matched or d in matched
+
+
+@given(edges=edges_strategy)
+@SLOW
+def test_densest_density_at_least_average(spark, edges):
+    # The greedy peel's best round starts from the whole graph, so
+    # the reported density is >= the whole-graph average density.
+    from pagerank_spark.operators.densest import densest_subgraph
+
+    r = densest_subgraph(edges_df(spark, edges))
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    verts = {v for p in und for v in p}
+    if not und:
+        assert r.n_vertices == 0
+    else:
+        assert r.density >= len(und) / len(verts) - 1e-9
+        assert r.n_edges <= len(und)
+
+
+@given(edges=edges_strategy)
+@SLOW
+def test_salsa_scores_are_distributions(spark, edges):
+    from pagerank_spark.operators.salsa import salsa
+
+    rows = salsa(edges_df(spark, edges), max_iter=3, tol=0.0).collect()
+    simple = {(s, d) for s, d in edges if s != d}
+    if not simple:
+        return
+    hub = sum(r["hub"] for r in rows)
+    auth = sum(r["auth"] for r in rows)
+    assert hub == pytest.approx(1.0, abs=1e-9)
+    assert auth == pytest.approx(1.0, abs=1e-9)
+    assert all(r["hub"] >= 0 and r["auth"] >= 0 for r in rows)
+
+
+@given(edges=edges_strategy)
+@SLOW
+def test_fiedler_deflated_unit_or_zero(spark, edges):
+    from pagerank_spark.operators.spectral import fiedler_vector
+
+    rows = fiedler_vector(edges_df(spark, edges), iterations=4).collect()
+    simple = {(s, d) for s, d in edges if s != d}
+    if not rows:
+        return
+    s1 = sum(r["fiedler"] for r in rows)
+    s2 = sum(r["fiedler"] ** 2 for r in rows)
+    if simple:
+        assert abs(s1) < 1e-8                    # deflated
+        assert s2 == pytest.approx(1.0, abs=1e-8) or s2 == 0.0
+    else:
+        assert s2 == 0.0
