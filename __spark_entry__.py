@@ -153,6 +153,8 @@ MIS_ORACLE_ROUNDS = 6
 COLORING_ORACLE_COLORS = 32
 COLORING_ORACLE_ROUNDS = 6
 WALK_STEPS = 4  # random_walks hop count, both engines
+N2V_STEPS = 3   # node2vec hop count, both engines
+N2V_WR, N2V_WC, N2V_WF = 1, 4, 2  # integer α weights (p=4, q=2)
 # Unrolled greedy-peel rounds in the densest_subgraph oracle; the
 # engine stops at the first empty round (3 at sf0.001, probed) and
 # rounds past that are no-ops on empty CTEs, so any unroll count >=
@@ -970,6 +972,20 @@ def q_random_walks(spark, sf_dir):
     return random_walks(_edges(spark, sf_dir), num_steps=WALK_STEPS)
 
 
+def q_node2vec_walks(spark, sf_dir):
+    """Second-order biased walk corpus (node2vec): step 1 uniform,
+    later hops weighted by the integer α classes (return / common /
+    forward) via exact candidate replication — the DuckDB oracle
+    replays the identical weighted draws with generate_series +
+    CASE over the same md5 key family."""
+    from pagerank_spark.operators.walks import node2vec_walks
+
+    return node2vec_walks(
+        _edges(spark, sf_dir), num_steps=N2V_STEPS,
+        return_weight=N2V_WR, common_weight=N2V_WC,
+        forward_weight=N2V_WF)
+
+
 def q_neighbor_sample(spark, sf_dir):
     """GraphSAGE-style fixed-fanout 2-hop sampled subgraph from a
     fixed seed set: per expanded vertex, the SAMPLE_FANOUT
@@ -1668,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "harmonic_centrality": q_harmonic_centrality,
         "random_walks": q_random_walks,
+        "node2vec_walks": q_node2vec_walks,
         "neighbor_sample_2hop": q_neighbor_sample,
         "ktruss": q_ktruss,
         "mis": q_mis,
@@ -3012,6 +3029,58 @@ def _walks_unrolled_sql(steps: int) -> str:
     return "".join(parts)
 
 
+def _node2vec_unrolled_sql(steps: int, wr: int, wc: int, wf: int) -> str:
+    """Generate the unrolled DuckDB node2vec replay: step 1 is the
+    uniform first-order pick; each later step replicates every
+    candidate hop ``generate_series(1, w)`` times with w chosen by the
+    α class (return / common-neighbor / forward — the EXISTS probe on
+    the symmetric pair set) and takes the copy minimizing the engine's
+    md5 key (operators/walks.py::_n2v_key) — identical integer + hash
+    arithmetic, so the biased walks match hop for hop."""
+    maxw = max(wr, wc, wf)
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGE_SQL}),",
+        "sym AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst"
+        " UNION SELECT dst, src FROM edges WHERE src <> dst),",
+        "s0 AS (SELECT DISTINCT src AS walk_id, CAST(NULL AS BIGINT)"
+        " AS prev, src AS cur FROM sym),",
+        """
+        s1 AS MATERIALIZED (
+            SELECT w.walk_id, w.cur AS prev, CAST(right(min(
+                md5(w.walk_id::VARCHAR || ':1:' || e.dst::VARCHAR)
+                || lpad(e.dst::VARCHAR, 12, '0')), 12) AS BIGINT) AS cur
+            FROM s0 w JOIN sym e ON e.src = w.cur
+            GROUP BY w.walk_id, w.cur)""",
+    ]
+    for t in range(2, steps + 1):
+        parts.append(f""",
+            s{t} AS MATERIALIZED (
+                SELECT walk_id, prev,
+                       CAST(right(min(key), 12) AS BIGINT) AS cur
+                FROM (
+                    SELECT w.walk_id, w.cur AS prev,
+                           md5(w.walk_id::VARCHAR || ':{t}:'
+                               || e.dst::VARCHAR || '#' || c.c::VARCHAR)
+                           || lpad(e.dst::VARCHAR, 12, '0') AS key
+                    FROM s{t - 1} w
+                    JOIN sym e ON e.src = w.cur
+                    CROSS JOIN (SELECT unnest(generate_series(1, {maxw}))
+                                AS c) c
+                    WHERE c.c <= CASE
+                        WHEN e.dst = w.prev THEN {wr}
+                        WHEN EXISTS (SELECT 1 FROM sym a
+                                     WHERE a.src = w.prev
+                                       AND a.dst = e.dst) THEN {wc}
+                        ELSE {wf} END
+                ) GROUP BY walk_id, prev)""")
+    sel = "\nSELECT walk_id, CAST(0 AS INT) AS step, cur AS id FROM s0"
+    for t in range(1, steps + 1):
+        sel += (f"\nUNION ALL SELECT walk_id, CAST({t} AS INT) AS step,"
+                f" cur AS id FROM s{t}")
+    parts.append(sel)
+    return "".join(parts)
+
+
 def _betweenness_unrolled_sql(sources, depth: int) -> str:
     """Generate the level-unrolled DuckDB Brandes chain mirroring
     operators/betweenness.py: forward levels l{k} carry exact BIGINT
@@ -3725,6 +3794,8 @@ def oracle_sql() -> dict[str, str]:
         "effective_diameter": _eff_diam_sql(
             NF_RADIUS, NF_SKETCHES, EFF_DIAM_ALPHA),
         "random_walks": _walks_unrolled_sql(WALK_STEPS),
+        "node2vec_walks": _node2vec_unrolled_sql(
+            N2V_STEPS, N2V_WR, N2V_WC, N2V_WF),
         "neighbor_sample_2hop": f"""
             {edge_cte},
             e AS (SELECT src, dst FROM edges WHERE src <> dst

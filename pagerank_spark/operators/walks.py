@@ -141,3 +141,172 @@ def _walk_loop(und: DataFrame, starts: DataFrame, num_steps: int,
     if laid_out:
         und.unpersist()
     return out.select("walk_id", "step", "id")
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    starts: DataFrame | Sequence[int] | None = None,
+    num_steps: int = 3,
+    return_weight: int = 1,
+    common_weight: int = 4,
+    forward_weight: int = 2,
+    directed: bool = False,
+    checkpoint: CheckpointManager | None = None,
+) -> DataFrame:
+    """(walk_id, step, id): second-order biased walks (node2vec,
+    Grover & Leskovec KDD'16).  Step 1 is the uniform first-order pick
+    of :func:`random_walks`; from step 2 on, the candidate hop ``x``
+    from ``cur`` (having arrived from ``prev``) is weighted by the
+    node2vec search bias α:
+
+      * ``x == prev``              → ``return_weight``   (α = 1/p)
+      * ``x`` adjacent to ``prev`` → ``common_weight``   (α = 1)
+      * otherwise                  → ``forward_weight``  (α = 1/q)
+
+    Weights are INTEGERS (p = common/return, q = common/forward), so
+    the weighted draw is exact: each candidate edge is replicated
+    ``w`` times (``explode(sequence(1, w))``) and the walker takes the
+    copy minimizing the keyed md5 order — pure integer + hash
+    arithmetic, reproducible bit-for-bit by any engine with md5
+    (the same portability contract as :func:`random_walks`; an
+    external SQL oracle replays it with ``generate_series`` +
+    ``CASE``).  A zero weight removes that candidate class entirely.
+
+    Physical strategy: the per-step frontier carries (walk_id, prev,
+    cur); candidates come from one probe of the cached symmetric edge
+    set on ``cur``, and the α class needs one extra probe on the
+    (prev, x) pair — the second |E|-sized join per step is inherent
+    to second-order walks (every distributed node2vec does it; the
+    alternative, materializing per-vertex neighbor sets, is the same
+    bytes pivoted).  Both joins broadcast the frontier side under
+    ``BROADCAST_MAX_FRONTIER``; candidate replication multiplies rows
+    by at most ``max(weights)`` BEFORE the map-side-combined min, so
+    no replicated row ever crosses the shuffle.  The edge set is
+    deduplicated once at build (replication, unlike min-pick, is
+    duplicate-SENSITIVE).  Per-step lineage is truncated with the
+    durable cadence of every loop in this package.
+    """
+    for name, w in (("return_weight", return_weight),
+                    ("common_weight", common_weight),
+                    ("forward_weight", forward_weight)):
+        if not isinstance(w, int) or w < 0:
+            raise ValueError(f"{name} must be a non-negative int, got {w!r}")
+    if max(return_weight, common_weight, forward_weight) == 0:
+        raise ValueError("at least one node2vec weight must be positive")
+    spark = edges.sparkSession
+    halves = [edges.select("src", "dst")]
+    if not directed:
+        halves.append(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    und = halves[0] if len(halves) == 1 else halves[0].unionByName(halves[1])
+    # Distinct is REQUIRED here (not in random_walks): a duplicated
+    # edge would be replicated twice and double its candidate mass.
+    und = (und.where(F.col("src") != F.col("dst"))
+           .dropDuplicates(["src", "dst"]).persist())
+    if starts is None:
+        starts = und.select(F.col("src").alias("id")).distinct()
+    elif not isinstance(starts, DataFrame):
+        starts = spark.createDataFrame(
+            [(int(s),) for s in starts], "id BIGINT")
+    else:
+        starts = starts.select(F.col(starts.columns[0]).alias("id"))
+    if checkpoint is None:
+        import tempfile
+
+        checkpoint = CheckpointManager(
+            spark, tempfile.mkdtemp(prefix="n2v_ckpt_"), interval=8)
+    try:
+        return _node2vec_loop(und, starts, num_steps, return_weight,
+                              common_weight, forward_weight, checkpoint)
+    finally:
+        und.unpersist()
+
+
+def _n2v_key(walk_col, step: int, dst_col, copy_col):
+    """Keyed order for one REPLICATED candidate hop: the copy index is
+    folded into the hash so each of the w copies draws independently."""
+    return F.concat(
+        F.md5(F.concat(walk_col.cast("string"), F.lit(f":{step}:"),
+                       dst_col.cast("string"), F.lit("#"),
+                       copy_col.cast("string"))),
+        F.lpad(dst_col.cast("string"), 12, "0"))
+
+
+def _node2vec_loop(und: DataFrame, starts: DataFrame, num_steps: int,
+                   wr: int, wc: int, wf: int,
+                   checkpoint: CheckpointManager) -> DataFrame:
+    frontier = (
+        starts.select(F.col("id").cast("bigint").alias("walk_id"))
+        .distinct()
+        .select("walk_id", F.lit(None).cast("bigint").alias("prev"),
+                F.col("walk_id").alias("cur"))
+        .persist()
+    )
+    out = frontier.select("walk_id", F.lit(0).cast("int").alias("step"),
+                          F.col("cur").alias("id"))
+    out = out.localCheckpoint(eager=False)
+    f_rows = frontier.count()
+    adj = und.select(F.col("src").alias("p_src"), F.col("dst").alias("p_dst"),
+                     F.lit(1).alias("p_hit"))
+    for t in range(1, num_steps + 1):
+        small = f_rows <= BROADCAST_MAX_FRONTIER
+        f_side = frontier.select("walk_id", "prev",
+                                 F.col("cur").alias("src"))
+        if small:
+            f_side = F.broadcast(f_side)
+        cand = und.join(f_side, "src")
+        if t == 1:
+            # First hop is first-order uniform — random_walks' pick.
+            picked = (
+                cand.groupBy("walk_id")
+                .agg(F.min(_hop_key(F.col("walk_id"), t, F.col("dst")))
+                     .alias("key"))
+                .select("walk_id",
+                        F.expr("right(key, 12)").cast("bigint").alias("nxt"))
+            )
+        else:
+            flagged = cand.join(
+                adj,
+                (F.col("prev") == F.col("p_src"))
+                & (F.col("dst") == F.col("p_dst")),
+                "left")
+            w = (F.when(F.col("dst") == F.col("prev"), F.lit(wr))
+                 .when(F.col("p_hit").isNotNull(), F.lit(wc))
+                 .otherwise(F.lit(wf)))
+            flagged = flagged.select("walk_id", "dst", w.alias("w"))
+            copies = flagged.select(
+                "walk_id", "dst",
+                F.explode(F.when(F.col("w") >= 1,
+                                 F.sequence(F.lit(1), F.col("w")))
+                          .otherwise(F.array())).alias("c"))
+            picked = (
+                copies.groupBy("walk_id")
+                .agg(F.min(_n2v_key(F.col("walk_id"), t, F.col("dst"),
+                                    F.col("c"))).alias("key"))
+                .select("walk_id",
+                        F.expr("right(key, 12)").cast("bigint").alias("nxt"))
+            )
+        nxt_frontier = (
+            frontier.join(picked, "walk_id")
+            .select("walk_id", F.col("cur").alias("prev"),
+                    F.col("nxt").alias("cur"))
+        )
+        if checkpoint.should_checkpoint(t):
+            nxt_frontier = checkpoint.write_state(nxt_frontier, t).persist()
+        else:
+            nxt_frontier = nxt_frontier.persist()
+        alive = nxt_frontier.count()
+        if checkpoint.should_checkpoint(t):
+            checkpoint.write_metrics(t, {"alive": float(alive)})
+        frontier.unpersist()
+        frontier = nxt_frontier
+        f_rows = alive
+        step_rows = frontier.select(
+            "walk_id", F.lit(t).cast("int").alias("step"),
+            F.col("cur").alias("id"))
+        out = out.unionByName(step_rows).localCheckpoint(eager=False)
+        if alive == 0:
+            break
+    result = out.select("walk_id", "step", "id").localCheckpoint(eager=True)
+    frontier.unpersist()
+    return result

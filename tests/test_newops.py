@@ -256,6 +256,127 @@ def test_walks_explicit_starts(spark):
     assert len(got) == 4  # steps 0..3
 
 
+# ------------------------------------------------------------ node2vec
+
+def n2v_oracle(edges, num_steps, wr, wc, wf, directed=False):
+    """Brute-force Python replay of operators/walks.py::node2vec_walks:
+    step 1 uniform md5 pick, later steps the md5-keyed minimum over w
+    integer copies per candidate, w by α class."""
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        if not directed:
+            adj.setdefault(d, set()).add(s)
+    out = {}
+    for w0 in sorted(adj):
+        prev, cur = None, w0
+        out[(w0, 0)] = w0
+        for t in range(1, num_steps + 1):
+            ns = adj.get(cur)
+            if not ns:
+                break
+            if t == 1:
+                cur, prev = min(ns, key=lambda v: (
+                    hashlib.md5(f"{w0}:{t}:{v}".encode()).hexdigest()
+                    + str(v).zfill(12))), cur
+            else:
+                best = None
+                for v in ns:
+                    wgt = (wr if v == prev
+                           else wc if v in adj.get(prev, set())
+                           else wf)
+                    for c in range(1, wgt + 1):
+                        key = (hashlib.md5(
+                            f"{w0}:{t}:{v}#{c}".encode()).hexdigest()
+                            + str(v).zfill(12))
+                        if best is None or key < best[0]:
+                            best = (key, v)
+                if best is None:
+                    break
+                cur, prev = best[1], cur
+            out[(w0, t)] = cur
+    return out
+
+
+def test_node2vec_vs_oracle(spark):
+    from pagerank_spark.operators.walks import node2vec_walks
+
+    rng = random.Random(31)
+    edges = list({(rng.randrange(20), rng.randrange(20))
+                  for _ in range(50)})
+    got = {(r["walk_id"], r["step"]): r["id"]
+           for r in node2vec_walks(edges_df(spark, edges), num_steps=4,
+                                   return_weight=1, common_weight=4,
+                                   forward_weight=2).collect()}
+    assert got == n2v_oracle(edges, 4, 1, 4, 2)
+
+
+def test_node2vec_directed_vs_oracle(spark):
+    from pagerank_spark.operators.walks import node2vec_walks
+
+    rng = random.Random(37)
+    edges = list({(rng.randrange(15), rng.randrange(15))
+                  for _ in range(35)})
+    got = {(r["walk_id"], r["step"]): r["id"]
+           for r in node2vec_walks(edges_df(spark, edges), num_steps=5,
+                                   return_weight=2, common_weight=3,
+                                   forward_weight=1,
+                                   directed=True).collect()}
+    assert got == n2v_oracle(edges, 5, 2, 3, 1, directed=True)
+
+
+def test_node2vec_zero_return_weight_never_backtracks_on_path(spark):
+    from pagerank_spark.operators.walks import node2vec_walks
+
+    # Path graph 0-1-2-3-4: from any interior vertex the only
+    # non-backtracking hop is forward, so with return_weight=0 every
+    # walk marches monotonically until it hits an endpoint, where the
+    # ONLY candidate is the back-edge (weight 0 -> walker stops).
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    rows = node2vec_walks(edges_df(spark, edges), num_steps=6,
+                          return_weight=0, common_weight=4,
+                          forward_weight=2).collect()
+    walks: dict[int, dict[int, int]] = {}
+    for r in rows:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["id"]
+    for w0, steps in walks.items():
+        seq = [steps[t] for t in sorted(steps)]
+        for a, b, c in zip(seq, seq[1:], seq[2:]):
+            assert c != a, f"walk {w0} backtracked: {seq}"
+    assert got_matches_oracle_domain(walks, edges)
+
+
+def got_matches_oracle_domain(walks, edges):
+    verts = {v for e in edges for v in e}
+    return set(walks) == verts
+
+
+def test_node2vec_rejects_bad_weights(spark):
+    from pagerank_spark.operators.walks import node2vec_walks
+
+    df = edges_df(spark, [(0, 1)])
+    with pytest.raises(ValueError):
+        node2vec_walks(df, return_weight=-1)
+    with pytest.raises(ValueError):
+        node2vec_walks(df, return_weight=0, common_weight=0,
+                       forward_weight=0)
+    with pytest.raises(ValueError):
+        node2vec_walks(df, common_weight=1.5)  # type: ignore[arg-type]
+
+
+def test_node2vec_deterministic_across_runs(spark):
+    from pagerank_spark.operators.walks import node2vec_walks
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 0)]
+    a = sorted(map(tuple, node2vec_walks(
+        edges_df(spark, edges), num_steps=5).collect()))
+    b = sorted(map(tuple, node2vec_walks(
+        edges_df(spark, edges), num_steps=5).collect()))
+    assert a == b
+
+
 # ---------------------------------------------------------- condensation
 
 def test_scc_condensation_two_cycles(spark):
