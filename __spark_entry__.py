@@ -93,6 +93,12 @@ TRUST_SEEDS = (0, 16, 32, 48)
 CMS_WIDTH = 1024
 CMS_DEPTH = 4
 CMS_TOPK = 20
+# histogram quantile sketch (pipeline/sketches.py), both engines.
+HIST_BUCKET_WIDTH = 64
+# Efraimidis-Spirakis weighted sample (pipeline/curation.py).
+WS_K = 12
+WS_SEED = 42
+WS_SALTS = 32
 KATZ_K = 5  # katz_k5 iteration count, both engines
 # attenuation well under 1/max_in_degree for the sf graphs, so the
 # iterates stay O(1) and the ROUND-digit comparison is robust to
@@ -695,6 +701,32 @@ def q_vocab_sketch(spark, sf_dir):
     from pagerank_spark.pipeline.sketches import approx_distinct_ngrams
 
     return approx_distinct_ngrams(_read(spark, sf_dir, "documents"), n=2)
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Per-language approximate length quantiles (p50/p90/p99) from a
+    mergeable fixed-width histogram sketch — the one-pass incremental
+    face of corpus_length_profile's exact percentiles; pure integer
+    arithmetic (integer DIV bucketing, per-mille rank compare), so
+    the oracle reproduces every estimate exactly."""
+    from pagerank_spark.pipeline.sketches import approx_length_quantiles
+
+    return approx_length_quantiles(
+        _read(spark, sf_dir, "documents"), bucket_width=HIST_BUCKET_WIDTH)
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Per-language Efraimidis-Spirakis weighted sample without
+    replacement (weight ∝ token count): exact-k draw via the
+    exponential-race key −ln(u)/w over the portable md5 deviate,
+    selected two-level (per-salt top-k, then top-k of survivors) so
+    no stratum ever sorts through one task; the oracle runs the
+    single-window equivalent over the identical quantized keys."""
+    from pagerank_spark.pipeline.curation import weighted_sample_topk
+
+    return weighted_sample_topk(
+        _read(spark, sf_dir, "documents"), k=WS_K, seed=WS_SEED,
+        salt_buckets=WS_SALTS)
 
 
 def q_cms_counts(spark, sf_dir):
@@ -1738,6 +1770,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   bisection via shifted-Laplacian power iteration
         "trustrank_k3": q_trustrank_k3,  # TrustRank face: multi-seed
         #   restart over the existing PPR operator
+        "length_quantiles": q_length_quantiles,  # new capability:
+        # mergeable histogram quantile sketch
+        "weighted_sample": q_weighted_sample,  # new capability:
+        # exact-k weighted sampling without replacement
         "vocab_sketch": q_vocab_sketch,  # new capability: mergeable
         #   FM vocabulary sketch (approximate distinct n-grams)
         "cms_counts": q_cms_counts,  # new capability: count-min
@@ -3608,6 +3644,47 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pca": _pca_unrolled_sql(PCA_K, PCA_DIM),
         "fiedler_k5": _fiedler_unrolled_sql(SPECTRAL_K),
         "trustrank_k3": _trustrank_sql(TRUST_SEEDS, 3),
+        "weighted_sample": f"""
+            WITH base AS (
+                SELECT lang AS stratum, doc_id::BIGINT AS doc_id,
+                       greatest(len(string_split_regex(trim(lower(text)),
+                           '\\s+'))::BIGINT, 1) AS n_tok,
+                       ('0x' || substr(md5('sample:{WS_SEED}:'
+                            || doc_id::VARCHAR), 1, 15))::BIGINT AS dev
+                FROM documents),
+            keyed AS (
+                SELECT stratum, doc_id, n_tok,
+                       round(round(-ln((dev + 1)
+                                 / {float(1 << 60)!r}), 12)
+                             / n_tok, 9) AS es_key
+                FROM base),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY stratum ORDER BY es_key, doc_id) AS rn
+                  FROM keyed)
+            SELECT stratum, doc_id, n_tok, es_key FROM r
+            WHERE rn <= {WS_K}
+        """,
+        "length_quantiles": f"""
+            WITH hist AS (
+                SELECT lang AS grp,
+                       length(text)::BIGINT // {HIST_BUCKET_WIDTH} AS bucket,
+                       count(*)::BIGINT AS cnt
+                FROM documents GROUP BY 1, 2),
+            cum AS (
+                SELECT grp, bucket,
+                       sum(cnt) OVER (PARTITION BY grp
+                                      ORDER BY bucket)::BIGINT AS c,
+                       sum(cnt) OVER (PARTITION BY grp)::BIGINT AS total
+                FROM hist)
+            SELECT grp, q_permille,
+                   min((bucket + 1) * {HIST_BUCKET_WIDTH} - 1)::BIGINT
+                       AS quantile_est
+            FROM cum
+            CROSS JOIN (SELECT unnest([500, 900, 990])::BIGINT
+                        AS q_permille) qs
+            WHERE c * 1000 >= q_permille * total
+            GROUP BY grp, q_permille
+        """,
         "vocab_sketch": _vocab_sketch_sql(),
         "cms_counts": _cms_counts_sql(CMS_WIDTH, CMS_DEPTH, CMS_TOPK),
         # Fake-face resize of the synthetic (non-netpbm) corpus: every

@@ -460,3 +460,54 @@ def pack_bins(docs: DataFrame, max_tokens: int = 256,
                 F.expr(f"cum DIV {int(max_tokens)}").alias("bin_id"),
                 "n_tokens")
     )
+
+
+def weighted_sample_topk(docs: DataFrame, k: int = 20,
+                         stratum_col: str = "lang", seed: int = 42,
+                         salt_buckets: int = 32) -> DataFrame:
+    """(stratum, doc_id, n_tok, es_key): per-stratum weighted sample
+    WITHOUT replacement, weight ∝ token count — Efraimidis-Spirakis
+    A-ES (IPL 2006): doc i gets key −ln(uᵢ)/wᵢ with uᵢ its 60-bit md5
+    deviate mapped into (0, 1]; the k SMALLEST keys per stratum are
+    exactly a weighted draw without replacement (the exponential-race
+    argument).  Complements the Bernoulli samplers above: those hit a
+    token BUDGET in expectation; this returns an exact-k draw where a
+    long document is proportionally more likely to be picked.
+
+    Determinism & portability: uᵢ = (dev+1)/2^60 — the int64→double
+    conversion is IEEE round-to-nearest and the division a power-of-two
+    scaling, both bit-identical on any engine, so ln() sees the same
+    double everywhere; the key is quantized
+    to 9 decimal digits (the tfidf.W_ROUND convention) with doc_id as
+    total tiebreak, so the selection boundary is engine-stable.
+
+    Scale shape: a naive per-stratum window sorts each stratum through
+    ONE task — the classic 100 TB faceplant.  Selection here is
+    two-level: top-k within (stratum, salt) over ``salt_buckets``
+    deviate-derived salts in parallel, then top-k of the ≤ k·salts
+    survivors per stratum (a tiny second window).  The global top-k is
+    a subset of the union of per-salt top-k's, so the result is
+    identical to the single-window answer.
+    """
+    if k <= 0 or salt_buckets <= 0:
+        raise ValueError("k and salt_buckets must be positive")
+    dev = sample_deviate(F.col("doc_id"), seed)
+    u = (dev + F.lit(1)).cast("double") / F.lit(float(_HASH_SPACE))
+    base = docs.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.greatest(F.size(_tokens(F.col("text"))).cast("bigint"),
+                   F.lit(1)).alias("n_tok"),
+        (dev % salt_buckets).alias("salt"),
+        F.round(-F.log(u), 12).alias("_e"))
+    base = base.withColumn(
+        "es_key", F.round(F.col("_e") / F.col("n_tok"), 9))
+    w1 = Window.partitionBy("stratum", "salt").orderBy("es_key", "doc_id")
+    w2 = Window.partitionBy("stratum").orderBy("es_key", "doc_id")
+    return (
+        base.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .withColumn("_r2", F.row_number().over(w2))
+        .where(F.col("_r2") <= k)
+        .select("stratum", "doc_id", "n_tok", "es_key")
+    )

@@ -119,6 +119,78 @@ def approx_distinct_ngrams(docs: DataFrame, n: int = 2,
         n_sketches=n_sketches)
 
 
+# ------------------------------------------------------- histogram quantiles
+
+def length_histogram(docs: DataFrame, bucket_width: int = 64,
+                     group_col: str = "lang") -> DataFrame:
+    """(grp, bucket, cnt) — fixed-width histogram sketch of document
+    length per group: bucket = length(text) DIV bucket_width.
+
+    The mergeable face of ``corpus_length_profile``'s exact
+    percentiles: the exact path shuffles every row's length to a
+    per-group sort (percentile_disc); this keeps one bounded counter
+    row per (group, bucket) — map-side-combined, one pass — and
+    histograms from disjoint corpus shards / ingestion days merge by
+    adding counts, so the statistic is maintainable incrementally
+    without re-reading old data (the same merge contract as the FM
+    and count-min sketches above).  Pure integer arithmetic
+    end-to-end: any engine reproduces every cell exactly.
+    """
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    return (
+        docs.select(F.col(group_col).alias("grp"),
+                    F.expr(f"CAST(length(text) AS BIGINT) DIV {bucket_width}")
+                    .alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(hist: DataFrame,
+                        quantiles_permille: tuple[int, ...] = (500, 900, 990),
+                        bucket_width: int = 64) -> DataFrame:
+    """(grp, q_permille, quantile_est) from a (merged) histogram:
+    the estimate for quantile q is the inclusive upper edge
+    ``(b+1)·width − 1`` of the smallest bucket b whose cumulative
+    count reaches ⌈q·total⌉ — biased high by at most one bucket
+    width, the textbook equi-width histogram bound.  Quantiles are
+    integer per-mille so the rank comparison ``cum·1000 ≥ q·total``
+    is exact integer arithmetic (no float rank, no ulp drift).
+
+    The cumulative window runs over the SKETCH (≤ max_len/width rows
+    per group), not the corpus — driver-trivial at any corpus size.
+    """
+    spark = hist.sparkSession
+    qs = spark.createDataFrame([(int(q),) for q in quantiles_permille],
+                               "q_permille BIGINT")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("bucket")
+    cum = hist.select(
+        "grp", "bucket",
+        F.sum("cnt").over(w).alias("c"),
+        F.sum("cnt").over(Window.partitionBy("grp")).alias("total"))
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        .where(F.col("c") * 1000 >= F.col("q_permille") * F.col("total"))
+        .groupBy("grp", "q_permille")
+        .agg(F.min((F.col("bucket") + 1) * bucket_width - 1)
+             .alias("quantile_est"))
+    )
+
+
+def approx_length_quantiles(docs: DataFrame, bucket_width: int = 64,
+                            quantiles_permille: tuple[int, ...] =
+                            (500, 900, 990),
+                            group_col: str = "lang") -> DataFrame:
+    """(grp, q_permille, quantile_est) — one-pass mergeable
+    approximate length quantiles per group (see length_histogram)."""
+    return histogram_quantiles(
+        length_histogram(docs, bucket_width, group_col),
+        quantiles_permille, bucket_width)
+
+
 # ------------------------------------------------------------ count-min
 
 def _cms_hash(col, k: int):

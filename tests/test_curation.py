@@ -233,3 +233,58 @@ def test_pack_bins_validation(spark):
         curation.pack_bins(docs, max_tokens=0)
     with pytest.raises(ValueError):
         curation.pack_bins(docs, n_buckets=0)
+
+
+# ------------------------------------------------------ weighted sampling
+
+def _lang_docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id BIGINT, lang STRING, text STRING")
+
+
+def test_weighted_sample_two_level_equals_single_window(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, rng.choice(["en", "fr"]),
+             " ".join("t" for _ in range(rng.randrange(1, 40))))
+            for i in range(120)]
+    docs = _lang_docs(spark, rows)
+    a = sorted(map(tuple, curation.weighted_sample_topk(
+        docs, k=7, salt_buckets=1).collect()))
+    b = sorted(map(tuple, curation.weighted_sample_topk(
+        docs, k=7, salt_buckets=32).collect()))
+    assert a == b and len(a) == 14  # 2 strata x k
+
+
+def test_weighted_sample_exact_k_without_replacement(spark):
+    rows = [(i, "en", "w " * (i + 1)) for i in range(30)]
+    got = curation.weighted_sample_topk(
+        _lang_docs(spark, rows), k=10).collect()
+    ids = [r["doc_id"] for r in got]
+    assert len(ids) == 10 and len(set(ids)) == 10
+    # small stratum: returns everything
+    short = curation.weighted_sample_topk(
+        _lang_docs(spark, rows[:4]), k=10).collect()
+    assert len(short) == 4
+
+
+def test_weighted_sample_biases_toward_heavy_docs(spark):
+    # one 400-token doc among 40 single-token docs: E-S picks it for
+    # k=1 with prob 400/440 per seed; over 30 seeds it must dominate.
+    rows = [(0, "en", "h " * 400)] + [
+        (i, "en", "x") for i in range(1, 41)]
+    docs = _lang_docs(spark, rows)
+    wins = sum(
+        curation.weighted_sample_topk(docs, k=1, seed=s).first()["doc_id"]
+        == 0
+        for s in range(30))
+    assert wins >= 22, wins
+
+
+def test_weighted_sample_rejects_bad_params(spark):
+    docs = _lang_docs(spark, [(0, "en", "a")])
+    with pytest.raises(ValueError):
+        curation.weighted_sample_topk(docs, k=0)
+    with pytest.raises(ValueError):
+        curation.weighted_sample_topk(docs, salt_buckets=0)

@@ -125,3 +125,51 @@ def test_cms_shard_merge_by_cell_addition(spark):
     e1 = sorted(map(tuple, cms_estimate(whole, probes).collect()))
     e2 = sorted(map(tuple, cms_estimate(merged, probes).collect()))
     assert e1 == e2
+
+
+# ------------------------------------------------------- histogram quantiles
+
+def test_length_histogram_quantile_error_bound(spark):
+    from pagerank_spark.pipeline.sketches import approx_length_quantiles
+
+    rng = random.Random(11)
+    lens = [rng.randrange(1, 2000) for _ in range(300)]
+    rows = [(i, "en", "x" * ln) for i, ln in enumerate(lens)]
+    width = 64
+    got = {r["q_permille"]: r["quantile_est"]
+           for r in approx_length_quantiles(
+               _docs(spark, rows), bucket_width=width).collect()}
+    s = sorted(lens)
+    import math
+
+    for q in (500, 900, 990):
+        exact = s[math.ceil(q / 1000 * len(s)) - 1]  # rank-q order stat
+        est = got[q]
+        assert est >= exact, (q, est, exact)      # upper-edge estimate
+        assert est - exact < width, (q, est, exact)  # one-bucket bound
+
+
+def test_length_histogram_shard_merge(spark):
+    from pagerank_spark.pipeline.sketches import (
+        histogram_quantiles, length_histogram)
+
+    rng = random.Random(13)
+    rows = [(i, rng.choice(["en", "fr"]), "y" * rng.randrange(1, 500))
+            for i in range(200)]
+    whole = length_histogram(_docs(spark, rows))
+    a = length_histogram(_docs(spark, rows[:100]))
+    b = length_histogram(_docs(spark, rows[100:]))
+    merged = (a.unionByName(b).groupBy("grp", "bucket")
+              .agg(F.sum("cnt").alias("cnt")))
+    q1 = sorted(map(tuple, histogram_quantiles(whole).collect()))
+    q2 = sorted(map(tuple, histogram_quantiles(merged).collect()))
+    assert q1 == q2 and len(q1) == 6  # 2 langs x 3 quantiles
+
+
+def test_length_histogram_rejects_bad_width(spark):
+    import pytest
+
+    from pagerank_spark.pipeline.sketches import length_histogram
+
+    with pytest.raises(ValueError):
+        length_histogram(_docs(spark, [(0, "en", "abc")]), bucket_width=0)
