@@ -145,6 +145,9 @@ def main() -> None:
               F.sum("harmonic_q6")).collect())
     timed("random_walks_k4",
           lambda: random_walks(g.edges, num_steps=4).count())
+    from pagerank_spark.operators.walks import node2vec_walks
+    timed("node2vec_k3",
+          lambda: node2vec_walks(g.edges, num_steps=3).count())
     timed("scc_condensation",
           lambda: scc_condensation(g.edges, n=g.n).count())
     from pagerank_spark.operators.truss import k_truss
@@ -261,10 +264,19 @@ def main() -> None:
           lambda: approx_distinct_ngrams(
               docs.withColumn("lang", (F.col("doc_id") % 4)
                               .cast("string")), n=2).count())
-    from pagerank_spark.pipeline.curation import pack_bins
+    from pagerank_spark.pipeline.sketches import approx_length_quantiles
+    timed("length_quantiles",
+          lambda: approx_length_quantiles(
+              docs.withColumn("lang", (F.col("doc_id") % 4)
+                              .cast("string"))).count())
+    from pagerank_spark.pipeline.curation import pack_bins, weighted_sample_topk
     timed("pack_bins",
           lambda: pack_bins(docs, max_tokens=1024, n_buckets=32)
           .agg(F.max("bin_id")).collect())
+    timed("weighted_sample",
+          lambda: weighted_sample_topk(
+              docs.withColumn("lang", (F.col("doc_id") % 4)
+                              .cast("string")), k=12).count())
     timed("dedup_clusters",
           lambda: dedup.near_dup_clusters(
               docs, threshold=0.8, max_df=100).count())

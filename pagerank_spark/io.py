@@ -106,3 +106,41 @@ class TableIO:
             return spark.catalog.tableExists(f"{self.catalog}.{name}")
         p = self._path(name)
         return os.path.isdir(p) and bool(os.listdir(p))
+
+
+# ------------------------------------------------------------ bucketed layout
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   n_buckets: int = 32, mode: str = "overwrite",
+                   sort: bool = True) -> None:
+    """Persist ``df`` as a catalog table hash-BUCKETED (and by default
+    sorted) on ``bucket_col`` — the durable co-located-join layout.
+
+    Why this exists at 100 TB: every PageRank-class iteration joins the
+    edge table on its key.  A cached in-session re-layout (what
+    ``plan_gather`` does) dies with the job; bucketing persists the
+    layout IN THE TABLE, so any later job — a resumed run, tomorrow's
+    incremental update, a different operator over the same graph —
+    joins two tables bucketed on the same key with the same bucket
+    count with ZERO Exchange on either side (verified by plan assert in
+    tests/test_io.py).  On Iceberg the same contract is the
+    ``bucket(N, col)`` partition transform + storage-partitioned joins;
+    this is the Spark-catalog face the sandbox can execute.
+
+    ``sort=True`` additionally sorts within buckets, so downstream
+    merge joins skip their per-task sort too.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    w = (df.write.mode(mode)
+         .format("parquet")
+         .bucketBy(n_buckets, bucket_col))
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a catalog table written by :func:`write_bucketed`; Spark
+    plans bucketed scans automatically from the table metadata."""
+    return spark.read.table(table)

@@ -12,6 +12,7 @@ exercised for real.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from pagerank_spark.io import TableIO, iceberg_available, iceberg_session_conf
 
@@ -231,3 +232,73 @@ def test_table_checkpoint_parquet_end_to_end(spark, tmp_path):
     a = {r["id"]: r["pr"] for r in full.converged_ranks.collect()}
     b = {r["id"]: r["pr"] for r in resumed.converged_ranks.collect()}
     assert a == b
+
+
+# ------------------------------------------------------------ bucketed layout
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts
+    must sort-merge join with ZERO Exchange on either side — the
+    durable co-located layout contract write_bucketed documents."""
+    import pytest
+
+    from pagerank_spark.io import read_table, write_bucketed
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}'")
+    try:
+        edges = spark.range(0, 400).select(
+            (F.col("id") % 50).alias("src"), (F.col("id") % 37).alias("dst"))
+        ranks = spark.range(0, 50).select(
+            F.col("id").alias("src"), (F.col("id") * 2.0).alias("pr"))
+        write_bucketed(edges, "bkt.edges", "src", n_buckets=8)
+        write_bucketed(ranks, "bkt.ranks", "src", n_buckets=8)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = read_table(spark, "bkt.edges").join(
+                read_table(spark, "bkt.ranks"), "src")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan, plan
+            # same join over plain parquet MUST shuffle — the bucketed
+            # layout is what removed it
+            pe, pr = str(tmp_path / "pe"), str(tmp_path / "pr")
+            edges.write.mode("overwrite").parquet(pe)
+            ranks.write.mode("overwrite").parquet(pr)
+            plain = spark.read.parquet(pe).join(spark.read.parquet(pr), "src")
+            pplan = plain._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" in pplan
+            # identical results either way
+            a = sorted(map(tuple, joined.collect()))
+            b = sorted(map(tuple, plain.collect()))
+            assert a == b and len(a) == 400
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        with pytest.raises(ValueError):
+            write_bucketed(edges, "bkt.bad", "src", n_buckets=0)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
+
+
+def test_bucketed_sorted_scan_skips_sort(spark, tmp_path):
+    """sortBy in the bucketed layout lets the merge join skip the
+    per-task sort of the bucketed side entirely."""
+    from pagerank_spark.io import read_table, write_bucketed
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bkt2 LOCATION '{tmp_path}'")
+    try:
+        df = spark.range(0, 200).select(
+            (F.col("id") % 20).alias("k"), F.col("id").alias("v"))
+        write_bucketed(df, "bkt2.a", "k", n_buckets=4)
+        write_bucketed(df, "bkt2.b", "k", n_buckets=4)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = read_table(spark, "bkt2.a").join(
+                read_table(spark, "bkt2.b"), "k")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert j.count() == 2000  # 20 keys x 10 x 10
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bkt2 CASCADE")

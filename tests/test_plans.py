@@ -269,3 +269,28 @@ def test_dataset_split_zero_shuffle(spark):
         [(i, "x") for i in range(50)], "doc_id LONG, text STRING")
     plan = _physical(dataset_split(docs))
     assert "Exchange" not in plan
+
+
+def test_node2vec_no_cartesian_and_broadcast_frontier(spark):
+    # The α-class pair probe and candidate probe are equi-joins; with
+    # a small frontier both broadcast — never a CartesianProduct, and
+    # the replicated copies stay map-side (explode before the min agg).
+    from pagerank_spark.operators.walks import node2vec_walks
+
+    out = node2vec_walks(edges_df(spark, F2_EDGES), num_steps=2)
+    plan = _physical(out)
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_two_level_windows(spark):
+    # Selection must run as two window passes (salted then survivor),
+    # never a global sort of the corpus.
+    from pagerank_spark.pipeline.curation import weighted_sample_topk
+
+    docs = spark.createDataFrame(
+        [(i, "en", "a b c") for i in range(50)],
+        "doc_id BIGINT, lang STRING, text STRING")
+    out = weighted_sample_topk(docs, k=3)
+    plan = _physical(out)
+    assert "CartesianProduct" not in plan
+    assert plan.count("RunningWindowFunction") >= 1 or "Window" in plan
