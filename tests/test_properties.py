@@ -186,3 +186,17 @@ def test_fiedler_deflated_unit_or_zero(spark, edges):
         assert s2 == pytest.approx(1.0, abs=1e-8) or s2 == 0.0
     else:
         assert s2 == 0.0
+
+
+@given(edges=edges_strategy)
+@SLOW
+def test_node2vec_matches_python_replay_on_arbitrary_graphs(spark, edges):
+    from test_newops import n2v_oracle
+
+    from pagerank_spark.operators.walks import node2vec_walks
+
+    got = {(r["walk_id"], r["step"]): r["id"]
+           for r in node2vec_walks(edges_df(spark, edges), num_steps=3,
+                                   return_weight=1, common_weight=3,
+                                   forward_weight=2).collect()}
+    assert got == n2v_oracle(edges, 3, 1, 3, 2)
