@@ -246,8 +246,17 @@ def _node2vec_loop(und: DataFrame, starts: DataFrame, num_steps: int,
                           F.col("cur").alias("id"))
     out = out.localCheckpoint(eager=False)
     f_rows = frontier.count()
-    adj = und.select(F.col("src").alias("p_src"), F.col("dst").alias("p_dst"),
-                     F.lit(1).alias("p_hit"))
+    # The α-class pair probe joins the per-step candidate set (2|E|
+    # rows when every vertex walks) against this table on BOTH
+    # endpoints.  Materialize it hash-partitioned on exactly the join
+    # key once: HashPartitioning(p_src, p_dst) satisfies the join's
+    # required distribution, so every later step shuffles ONLY the
+    # candidate side — the adjacency never re-exchanges.
+    adj = (und.select(F.col("src").alias("p_src"),
+                      F.col("dst").alias("p_dst"),
+                      F.lit(1).alias("p_hit"))
+           .repartition(und.rdd.getNumPartitions(), "p_src", "p_dst")
+           .persist())
     for t in range(1, num_steps + 1):
         small = f_rows <= BROADCAST_MAX_FRONTIER
         f_side = frontier.select("walk_id", "prev",
@@ -309,4 +318,5 @@ def _node2vec_loop(und: DataFrame, starts: DataFrame, num_steps: int,
             break
     result = out.select("walk_id", "step", "id").localCheckpoint(eager=True)
     frontier.unpersist()
+    adj.unpersist()
     return result
