@@ -99,6 +99,10 @@ HIST_BUCKET_WIDTH = 64
 WS_K = 12
 WS_SEED = 42
 WS_SALTS = 32
+# SCAN structural clustering (operators/scan.py): eps = 2/5, mu = 3
+# (the sf graphs' σ distribution tops out near 0.43, so ε = 0.4 keeps
+# a non-trivial core/border/outlier split at both test scales).
+SCAN_EPS_NUM, SCAN_EPS_DEN, SCAN_MU = 2, 5, 3
 KATZ_K = 5  # katz_k5 iteration count, both engines
 # attenuation well under 1/max_in_degree for the sf graphs, so the
 # iterates stay O(1) and the ROUND-digit comparison is robust to
@@ -1004,6 +1008,18 @@ def q_random_walks(spark, sf_dir):
     return random_walks(_edges(spark, sf_dir), num_steps=WALK_STEPS)
 
 
+def q_scan_clusters(spark, sf_dir):
+    """SCAN structural clustering (cores + borders at ε=0.4, μ=3):
+    σ ≥ ε decided by exact integer cross-multiplication (no sqrt, no
+    float), cluster labels from the proven min-label CC operator —
+    the oracle reproduces the identical ε-edge set, core set, and
+    labels via a recursive-CTE closure."""
+    from pagerank_spark.operators.scan import scan_clusters
+
+    return scan_clusters(_edges(spark, sf_dir), eps_num=SCAN_EPS_NUM,
+                         eps_den=SCAN_EPS_DEN, mu=SCAN_MU)
+
+
 def q_node2vec_walks(spark, sf_dir):
     """Second-order biased walk corpus (node2vec): step 1 uniform,
     later hops weighted by the integer α classes (return / common /
@@ -1717,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": q_harmonic_centrality,
         "random_walks": q_random_walks,
         "node2vec_walks": q_node2vec_walks,
+        "scan_clusters": q_scan_clusters,
         "neighbor_sample_2hop": q_neighbor_sample,
         "ktruss": q_ktruss,
         "mis": q_mis,
@@ -3873,6 +3890,76 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": _walks_unrolled_sql(WALK_STEPS),
         "node2vec_walks": _node2vec_unrolled_sql(
             N2V_STEPS, N2V_WR, N2V_WC, N2V_WF),
+        # SCAN: σ ≥ ε via exact integer cross-multiplication; cluster
+        # labels = min-id over the recursive closure of core-core
+        # ε-edges (the CC contract); borders take the min adjacent
+        # core label.
+        "scan_clusters": f"""
+            WITH RECURSIVE edges AS MATERIALIZED ({_EDGE_SQL}),
+            -- NOTE: inside WITH RECURSIVE, DuckDB does not give a
+            -- non-recursive CTE's top-level UNION the plain-WITH
+            -- dedup semantics; SCAN's degree/triangle counts are
+            -- duplicate-SENSITIVE, so dedupe explicitly.
+            sym AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM edges WHERE src <> dst
+                    UNION ALL
+                    SELECT dst, src FROM edges WHERE src <> dst)),
+            deg AS (SELECT src AS id, count(*) AS deg FROM sym
+                    GROUP BY src),
+            canon AS (SELECT src AS lo, dst AS hi FROM sym
+                      WHERE src < dst),
+            tri AS (SELECT c.lo, c.hi, count(*) AS t
+                    FROM canon c
+                    JOIN sym a ON a.src = c.lo
+                    JOIN sym b ON b.src = c.hi AND b.dst = a.dst
+                    GROUP BY c.lo, c.hi),
+            simed AS (SELECT c.lo, c.hi,
+                             (coalesce(t.t, 0) + 2)::HUGEINT AS common,
+                             (dl.deg + 1)::HUGEINT AS n_lo,
+                             (dh.deg + 1)::HUGEINT AS n_hi
+                      FROM canon c
+                      LEFT JOIN tri t ON t.lo = c.lo AND t.hi = c.hi
+                      JOIN deg dl ON dl.id = c.lo
+                      JOIN deg dh ON dh.id = c.hi),
+            eps AS MATERIALIZED (
+                SELECT lo, hi FROM simed
+                WHERE common * common * {SCAN_EPS_DEN * SCAN_EPS_DEN}
+                      >= {SCAN_EPS_NUM * SCAN_EPS_NUM} * n_lo * n_hi),
+            epsdeg AS (SELECT id, count(*) AS d FROM (
+                           SELECT lo AS id FROM eps
+                           UNION ALL SELECT hi FROM eps)
+                       GROUP BY id),
+            cores AS MATERIALIZED (
+                SELECT id FROM epsdeg WHERE d + 1 >= {SCAN_MU}),
+            ceu AS MATERIALIZED (
+                SELECT e.lo AS a, e.hi AS b FROM eps e
+                JOIN cores c1 ON c1.id = e.lo
+                JOIN cores c2 ON c2.id = e.hi
+                UNION
+                SELECT e.hi, e.lo FROM eps e
+                JOIN cores c1 ON c1.id = e.lo
+                JOIN cores c2 ON c2.id = e.hi),
+            reach(a, b) AS (
+                SELECT a, b FROM ceu
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN ceu s ON s.a = r.b),
+            core_lbl AS MATERIALIZED (
+                SELECT c.id,
+                       least(c.id, coalesce(min(r.b), c.id)) AS cluster
+                FROM cores c LEFT JOIN reach r ON r.a = c.id
+                GROUP BY c.id),
+            halves AS (SELECT lo AS cid, hi AS oid FROM eps
+                       UNION ALL SELECT hi, lo FROM eps),
+            border AS (SELECT h.oid AS id, min(k.cluster) AS cluster
+                       FROM halves h
+                       JOIN core_lbl k ON k.id = h.cid
+                       WHERE h.oid NOT IN (SELECT id FROM cores)
+                       GROUP BY h.oid)
+            SELECT id, cluster, TRUE AS is_core FROM core_lbl
+            UNION ALL
+            SELECT id, cluster, FALSE AS is_core FROM border
+        """,
         "neighbor_sample_2hop": f"""
             {edge_cte},
             e AS (SELECT src, dst FROM edges WHERE src <> dst

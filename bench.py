@@ -152,6 +152,10 @@ def main() -> None:
           lambda: scc_condensation(g.edges, n=g.n).count())
     from pagerank_spark.operators.truss import k_truss
     timed("ktruss_20", lambda: k_truss(g.edges, 20).count())
+    from pagerank_spark.operators.scan import scan_clusters
+    timed("scan_clusters",
+          lambda: scan_clusters(g.edges, eps_num=2, eps_den=5,
+                                mu=3).count())
     from pagerank_spark.operators.eigencentrality import (
         eigenvector_centrality)
     timed("eigenvector_k8",

@@ -80,6 +80,13 @@ def main() -> None:
                 F.sum("harmonic_q6").alias("sum_q6")).first().asDict())
         timed("random_walks_k4_dense", lambda: {
             "rows": random_walks(dense, num_steps=4).count()})
+
+        def _n2v():
+            from pagerank_spark.operators.walks import node2vec_walks
+
+            return {"rows": node2vec_walks(dense, num_steps=2).count()}
+
+        timed("node2vec_k2_dense", _n2v)
         timed("scc_condensation_dense", lambda: {
             "cross_edges": scc_condensation(dense, n=DENSE[0]).count()})
         timed("betweenness_p4_dense", lambda: betweenness(
