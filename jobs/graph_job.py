@@ -8,7 +8,7 @@ jobs/pagerank_job.py).
         --algos cc,lpa,triangles,bfs,sssp,hits,katz,kcore,ppr,scc,wpr,lcc,degdist \
         [--algos ...,linkpred,harmonic,walks,condense,ktruss,diameter] \
         [--algos ...,eigen,closeness,bipartite,mis,levels,betweenness] \
-        [--algos ...,neighborhood] \
+        [--algos ...,neighborhood,node2vec,scan] \
         [--source 0] [--k 3] [--max-iter 20] [--out result.json]
 
 Every algorithm prints its summary into ONE JSON line, so the job is
@@ -106,7 +106,7 @@ def main() -> None:
                        "levels", "betweenness", "neighborhood", "coreness",
                        "msf", "coloring", "densest", "rectangles",
                        "salsa", "matching", "coarsen", "spread",
-                       "fiedler"}
+                       "fiedler", "node2vec", "scan"}
     if unknown:
         raise SystemExit(f"unknown algos: {sorted(unknown)}")
 
@@ -237,6 +237,25 @@ def main() -> None:
 
         run("walks", lambda: {"rows": random_walks(
             g.edges, num_steps=args.walk_steps).count()})
+    if "node2vec" in algos:
+        from pagerank_spark.operators.walks import node2vec_walks
+
+        run("node2vec", lambda: {"rows": node2vec_walks(
+            g.edges, num_steps=args.walk_steps).count()})
+    if "scan" in algos:
+        from pagerank_spark.operators.scan import scan_clusters
+
+        def _scan():
+            out = scan_clusters(g.edges, eps_num=2, eps_den=5, mu=3)
+            row = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("cluster").alias("clusters"),
+                F.sum(F.col("is_core").cast("long")).alias("cores"),
+            ).first()
+            return {"clustered": row["n"], "clusters": row["clusters"],
+                    "cores": row["cores"]}
+
+        run("scan", _scan)
     if "condense" in algos:
         from pagerank_spark.operators.scc import scc_condensation
 

@@ -86,6 +86,16 @@ def test_graph_job_round5b_algos(spark, tmp_path):
     assert a["mis"]["size"] >= 1 and a["mis"]["rounds"] >= 1
 
 
+def test_graph_job_round5c_algos(spark, tmp_path):
+    path, _ = _stage_edges(spark, tmp_path)
+    got = _run("graph_job.py", "--edges", path, "--master", "local[4]",
+               "--algos", "node2vec,scan", "--walk-steps", "3")
+    a = got["algos"]
+    assert a["node2vec"]["rows"] >= 1
+    assert a["scan"]["clustered"] >= 0
+    assert a["scan"]["cores"] <= a["scan"]["clustered"]
+
+
 def test_graph_job_rejects_unknown_algo(spark, tmp_path):
     path, _ = _stage_edges(spark, tmp_path)
     proc = subprocess.run(
