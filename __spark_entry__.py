@@ -941,6 +941,18 @@ def q_betweenness(spark, sf_dir):
     return out.select("id", "bet_q9", "betweenness")
 
 
+def q_hyperball_harmonic(spark, sf_dir):
+    """All-vertex approximate harmonic centrality (HyperBall's
+    headline application, Boldi-Vigna 2013): rings from the per-radius
+    FM ball estimates, 1/r weights via the lcm common denominator so
+    harmonic_q is pure BIGINT and harmonic_est one double division —
+    the oracle replays the identical radius-unrolled sketch chain."""
+    from pagerank_spark.operators.neighborhood import hyperball_harmonic
+
+    return hyperball_harmonic(_edges(spark, sf_dir), NF_RADIUS,
+                              n_sketches=NF_SKETCHES)
+
+
 def q_neighborhood_k3(spark, sf_dir):
     """HyperBall-style approximate neighborhood function at radius 3:
     per-vertex mergeable Flajolet-Martin sketches (portable md5 hash
@@ -1750,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "betweenness": q_betweenness,
         "neighborhood_k3": q_neighborhood_k3,
+        "hyperball_harmonic": q_hyperball_harmonic,
         "dedup_clusters": q_dedup_clusters,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
@@ -2673,7 +2686,8 @@ def _coloring_unrolled_sql(colors: int, rounds: int, seed: int) -> str:
 
 
 def _nf_unrolled_sql(radius: int, n_sketches: int,
-                     distribution: bool = False) -> str:
+                     distribution: bool = False,
+                     harmonic: bool = False) -> str:
     """Generate the radius-unrolled DuckDB HyperBall chain mirroring
     ``operators/neighborhood.py``: identical md5-derived FM bits at
     radius 0, one bit_or gather + OR-merge per radius over the
@@ -2723,6 +2737,32 @@ def _nf_unrolled_sql(radius: int, n_sketches: int,
         for i in range(n_sketches))
     est = (f"round(CASE (sum_rho % {n_sketches}) {mant} END"
            f" * power(2, sum_rho // {n_sketches}), 6)")
+    if harmonic:
+        # Mirror operators/neighborhood.py::hyperball_harmonic: per
+        # radius the q6-BIGINT ball estimate, ring differences times
+        # the lcm weights (pure integers), ONE double division last.
+        import math as _math
+
+        L = 1
+        for r in range(1, radius + 1):
+            L = L * r // _math.gcd(L, r)
+        for r in range(radius + 1):
+            parts.append(f""",
+                f{r} AS MATERIALIZED (
+                    SELECT id, CAST(round({est} * 1000000.0) AS BIGINT)
+                        AS bq
+                    FROM (SELECT id, ({rho}) AS sum_rho FROM s{r}))""")
+        terms = " + ".join(
+            f"(f{r}.bq - f{r - 1}.bq) * {L // r}"
+            for r in range(1, radius + 1))
+        joins = " ".join(
+            f"JOIN f{r} ON f{r}.id = f0.id" for r in range(1, radius + 1))
+        parts.append(f"""
+            SELECT f0.id, ({terms}) AS harmonic_q,
+                   round(({terms}) / {float(1_000_000 * L)!r}, 6)
+                       AS harmonic_est
+            FROM f0 {joins}""")
+        return "".join(parts)
     if distribution:
         for r in range(radius + 1):
             parts.append(f""",
@@ -3883,6 +3923,8 @@ def oracle_sql() -> dict[str, str]:
         "betweenness": _betweenness_unrolled_sql(
             BETWEENNESS_PIVOTS, BETWEENNESS_ORACLE_DEPTH),
         "neighborhood_k3": _nf_unrolled_sql(NF_RADIUS, NF_SKETCHES),
+        "hyperball_harmonic": _nf_unrolled_sql(
+            NF_RADIUS, NF_SKETCHES, harmonic=True),
         "distance_distribution": _nf_unrolled_sql(
             NF_RADIUS, NF_SKETCHES, distribution=True),
         "effective_diameter": _eff_diam_sql(

@@ -152,6 +152,10 @@ def main() -> None:
           lambda: scc_condensation(g.edges, n=g.n).count())
     from pagerank_spark.operators.truss import k_truss
     timed("ktruss_20", lambda: k_truss(g.edges, 20).count())
+    from pagerank_spark.operators.neighborhood import hyperball_harmonic
+    timed("hyperball_harmonic",
+          lambda: hyperball_harmonic(g.edges, 3).agg(
+              F.sum("harmonic_q")).collect())
     from pagerank_spark.operators.scan import scan_clusters
     timed("scan_clusters",
           lambda: scan_clusters(g.edges, eps_num=2, eps_den=5,

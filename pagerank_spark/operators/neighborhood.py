@@ -48,6 +48,8 @@ connected-components init (operators/components.py).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 from pagerank_spark import skew
@@ -332,3 +334,75 @@ def effective_diameter(
                 + (F.col("target") - F.col("prev"))
                 / (F.col("n_pairs_q6") - F.col("prev"))),
             round_digits).alias("effective_diameter"))
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    max_radius: int,
+    n_sketches: int = N_SKETCHES,
+    directed: bool = False,
+    **kw,
+) -> DataFrame:
+    """(id, harmonic_q, harmonic_est): approximate harmonic centrality
+    for EVERY vertex — the actual headline application of HyperBall
+    (Boldi-Vigna 2013): H(v) ≈ Σ_{r=1..R} (|B(v,r)| − |B(v,r−1)|)/r,
+    each ring weighted by 1/its distance, with ball sizes from the
+    mergeable FM sketches of :func:`neighborhood_function`.
+
+    Landmark harmonic centrality (operators/centrality.py) is EXACT
+    for a distance sample; this is the all-vertex estimate at
+    PageRank-iteration cost per radius — the trade a 100 TB graph
+    forces (exact all-pairs harmonic is |V| BFS runs).
+
+    Exact cross-engine arithmetic: per-radius ball estimates are
+    q6-quantized to BIGINT, ring differences are integer, and the 1/r
+    weights use the common denominator L = lcm(1..R), so
+    ``harmonic_q = Σ (b_r − b_{r−1})·(L/r)`` is pure BIGINT;
+    ``harmonic_est = harmonic_q / (1e6·L)`` is ONE double division of
+    identical integers — no accumulation-order drift anywhere.
+
+    Directed semantics follow ``neighborhood_function``: out-balls,
+    i.e. H weights vertices v can REACH (pass the reversed edge table
+    for the in-ball/centrality-of-being-reached face).
+    """
+    if max_radius < 1:
+        raise ValueError(f"max_radius must be >= 1, got {max_radius}")
+    L = 1
+    for r in range(1, max_radius + 1):
+        L = L * r // math.gcd(L, r)
+    state: dict[str, DataFrame | None] = {"prev": None, "acc": None}
+
+    def snap(radius: int, sketches: DataFrame) -> None:
+        bq = (
+            _finalize(sketches, n_sketches)
+            .select("id", F.round(F.col("ball_est") * F.lit(1_000_000.0))
+                    .cast("bigint").alias("bq"))
+            .localCheckpoint(eager=True)
+        )
+        if radius == 0:
+            state["prev"] = bq
+            state["acc"] = bq.select(
+                "id", F.lit(0).cast("bigint").alias("aq"))
+            return
+        prev, acc = state["prev"], state["acc"]
+        w = L // radius
+        inc = (
+            bq.join(prev.withColumnRenamed("bq", "pq"), "id")
+            .select("id", ((F.col("bq") - F.col("pq")) * F.lit(w))
+                    .alias("iq"))
+        )
+        state["acc"] = (
+            acc.join(inc, "id")
+            .select("id", (F.col("aq") + F.col("iq")).alias("aq"))
+            .localCheckpoint(eager=True)
+        )
+        state["prev"] = bq
+
+    neighborhood_function(edges, max_radius, n_sketches=n_sketches,
+                          directed=directed, _on_round=snap, **kw)
+    acc = state["acc"]
+    assert acc is not None
+    return acc.select(
+        "id", F.col("aq").alias("harmonic_q"),
+        F.round(F.col("aq") / F.lit(1_000_000.0 * L), 6)
+        .alias("harmonic_est"))

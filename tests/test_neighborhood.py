@@ -173,3 +173,63 @@ def test_saturation_radius_is_fixpoint(spark):
     # Past the diameter the sketches stop changing (monotone + OR).
     edges = [(0, 1), (1, 2)]
     assert _run(spark, edges, 2) == _run(spark, edges, 9)
+
+
+# ------------------------------------------------------ hyperball harmonic
+
+def _harmonic_oracle(edges, radius: int, directed: bool = False,
+                     n_sketches: int = N_SKETCHES):
+    """Python replay of hyperball_harmonic: q6-BIGINT ball estimates
+    per radius, lcm-weighted integer ring differences, one division."""
+    import math
+
+    L = 1
+    for r in range(1, radius + 1):
+        L = L * r // math.gcd(L, r)
+    per_radius = [
+        {v: int(round(est * 1_000_000.0))
+         for v, (_, est) in _oracle(edges, r, directed,
+                                    n_sketches).items()}
+        for r in range(radius + 1)
+    ]
+    out = {}
+    for v in per_radius[0]:
+        hq = sum((per_radius[r][v] - per_radius[r - 1][v]) * (L // r)
+                 for r in range(1, radius + 1))
+        out[v] = (hq, round(hq / (1_000_000.0 * L), 6))
+    return out
+
+
+def test_hyperball_harmonic_vs_python_replay(spark):
+    from pagerank_spark.operators.neighborhood import hyperball_harmonic
+
+    rng = random.Random(29)
+    edges = list({(rng.randrange(18), rng.randrange(18))
+                  for _ in range(45)})
+    got = {r["id"]: (r["harmonic_q"], r["harmonic_est"])
+           for r in hyperball_harmonic(
+               edges_df(spark, edges), 3).collect()}
+    assert got == _harmonic_oracle(edges, 3)
+
+
+def test_hyperball_harmonic_star_ranks_center_highest(spark):
+    from pagerank_spark.operators.neighborhood import hyperball_harmonic
+
+    # Star K1,8: the center sees 8 vertices at distance 1; leaves see
+    # 1 at distance 1 and 7 at distance 2 — the estimate must rank the
+    # center strictly highest even through FM noise at K=8 sketches.
+    edges = [(0, i) for i in range(1, 9)]
+    got = {r["id"]: r["harmonic_est"]
+           for r in hyperball_harmonic(
+               edges_df(spark, edges), 2).collect()}
+    assert got[0] == max(got.values())
+    assert all(got[0] > got[i] for i in range(1, 9))
+
+
+def test_hyperball_harmonic_rejects_bad_radius(spark):
+    import pytest
+
+    from pagerank_spark.operators.neighborhood import hyperball_harmonic
+
+    with pytest.raises(ValueError):
+        hyperball_harmonic(edges_df(spark, [(0, 1)]), 0)
