@@ -167,6 +167,29 @@ def main() -> None:
                 F.sum("harmonic_q6").alias("sum_q6")).first().asDict())
         timed("random_walks_k4_sparse", lambda: {
             "rows": random_walks(sparse, num_steps=4).count()})
+
+        def _scan_sparse():
+            from pagerank_spark.operators.scan import scan_clusters
+
+            out = scan_clusters(sparse, eps_num=2, eps_den=5, mu=3)
+            row = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("is_core").cast("long")).alias("cores"),
+            ).first()
+            return {"clustered": row["n"], "cores": row["cores"]}
+
+        timed("scan_sparse", _scan_sparse)
+
+        def _hyperball_sparse():
+            from pagerank_spark.operators.neighborhood import (
+                hyperball_harmonic)
+
+            row = hyperball_harmonic(sparse, 3).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("harmonic_q").alias("sum_q")).first()
+            return {"n": row["n"], "sum_q": row["sum_q"]}
+
+        timed("hyperball_sparse", _hyperball_sparse)
         timed("betweenness_p4_sparse", lambda: betweenness(
             sparse, [1, 2, 3, 5]).agg(
                 F.count(F.lit(1)).alias("n"),
