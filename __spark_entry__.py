@@ -134,6 +134,8 @@ SSSP_SOURCE = 1  # sssp source vertex, both engines
 # small integers ((src+dst)%7+1), exact in doubles — no float drift.
 SSSP_ORACLE_ROUNDS = 25
 PPR_SOURCE = 1  # ppr_k3 personalization source, both engines
+# ACL sweep cut (operators/localcluster.py), both engines.
+SWEEP_PREFIX = 24
 # link_prediction: wedge-center degree cap (the scale guard — hub
 # commons carry ~no evidence and explode the self-join) and the
 # deterministic top-k cut, both engines
@@ -376,6 +378,18 @@ def q_ppr_k3(spark, sf_dir):
     g = _graph(spark, sf_dir)
     res = personalized_pagerank(g, [PPR_SOURCE], max_iter=3)
     return res.ranks.select("id", F.round("pr", 9).alias("pr"))
+
+
+def q_sweep_cut(spark, sf_dir):
+    """ACL'06 local clustering: conductance sweep over the top-24
+    degree-normalized PPR prefix around the ppr_k3 source — cut and
+    volume are pure integers via the ±1 rank-interval event trick,
+    phi_q6 an integer division; the oracle replays the identical PPR
+    chain, ranking, and cumulative sweep."""
+    from pagerank_spark.operators.localcluster import sweep_cut
+
+    return sweep_cut(_graph(spark, sf_dir), PPR_SOURCE, max_iter=3,
+                     max_prefix=SWEEP_PREFIX)
 
 
 def q_connected_components(spark, sf_dir):
@@ -1726,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top5_out_degree": q_top5_out_degree,
         "pagerank_converged": q_pagerank_converged,
         "ppr_k3": q_ppr_k3,
+        "sweep_cut": q_sweep_cut,
         "pagerank_weighted_k3": q_pagerank_weighted_k3,
         "connected_components": q_connected_components,
         "bfs_depths": q_bfs_depths,
@@ -3174,6 +3189,84 @@ def _node2vec_unrolled_sql(steps: int, wr: int, wc: int, wf: int) -> str:
     return "".join(parts)
 
 
+def _sweep_cut_sql(source: int, steps: int, prefix: int) -> str:
+    """Generate the DuckDB replay of operators/localcluster.py:
+    the ppr_k3-style unrolled PPR chain, degree-normalized scores
+    rounded to 12 digits with id tiebreak, the top-``prefix`` rank
+    table, the ±1 cut event trick, and the pure-integer cumulative
+    cut/vol with phi_q6 = cut·10⁶ // min(vol, 2m−vol)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGE_SQL}),",
+        "n AS (SELECT (max(greatest(src, dst)) + 1)::BIGINT AS n"
+        " FROM edges),",
+        "outd AS (SELECT src AS id, count(*)::DOUBLE AS od"
+        " FROM edges GROUP BY src),",
+        "verts AS (SELECT unnest(generate_series(0,"
+        " (SELECT n - 1 FROM n)))::BIGINT AS id),",
+        f"p1 AS (SELECT id, CASE WHEN id = {source} THEN 0.15 ELSE 0 END"
+        " AS pr FROM verts)",
+    ]
+    for i in range(2, steps + 1):
+        parts.append(f""",
+            d{i} AS (SELECT coalesce(sum(p.pr), 0) AS d FROM p{i - 1} p
+                   LEFT JOIN outd o ON p.id = o.id WHERE o.id IS NULL),
+            g{i} AS (SELECT e.dst AS id, sum(p.pr / o.od) AS c
+                   FROM edges e JOIN p{i - 1} p ON e.src = p.id
+                   JOIN outd o ON e.src = o.id GROUP BY e.dst),
+            p{i} AS (SELECT v.id,
+                          (coalesce(g.c, 0) + (SELECT d FROM d{i})
+                               * CASE WHEN v.id = {source} THEN 1 ELSE 0 END)
+                              * 0.85
+                          + 0.15 * CASE WHEN v.id = {source}
+                                   THEN 1 ELSE 0 END AS pr
+                   FROM verts v LEFT JOIN g{i} g ON v.id = g.id)""")
+    inf = 1 << 40
+    parts.append(f""",
+        und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges WHERE src <> dst
+            UNION ALL SELECT dst, src FROM edges WHERE src <> dst)),
+        deg AS (SELECT src AS id, count(*)::BIGINT AS deg FROM und
+                GROUP BY src),
+        twom AS (SELECT count(*)::BIGINT AS m2 FROM und),
+        scored AS (SELECT p.id, d.deg,
+                          round(p.pr / d.deg, 12) AS score_q12
+                   FROM p{steps} p JOIN deg d ON d.id = p.id
+                   WHERE p.pr > 0),
+        pfx AS MATERIALIZED (
+            SELECT id, deg, score_q12, k FROM (
+                SELECT *, row_number() OVER (
+                    ORDER BY score_q12 DESC, id) AS k FROM scored)
+            WHERE k <= {prefix}),
+        canon AS (SELECT src AS lo, dst AS hi FROM und WHERE src < dst),
+        touched AS (
+            SELECT least(coalesce(a.k, {inf}), coalesce(b.k, {inf}))
+                       AS r_lo,
+                   greatest(coalesce(a.k, {inf}), coalesce(b.k, {inf}))
+                       AS r_hi
+            FROM canon c
+            LEFT JOIN pfx a ON a.id = c.lo
+            LEFT JOIN pfx b ON b.id = c.hi
+            WHERE a.k IS NOT NULL OR b.k IS NOT NULL),
+        events AS (SELECT k, sum(ev)::BIGINT AS dcut FROM (
+                       SELECT r_lo AS k, 1 AS ev FROM touched
+                       UNION ALL
+                       SELECT r_hi, -1 FROM touched
+                       WHERE r_hi <= {prefix})
+                   GROUP BY k),
+        cum AS (SELECT p.k, p.id, p.score_q12,
+                       sum(coalesce(e.dcut, 0)) OVER (
+                           ORDER BY p.k)::BIGINT AS cut,
+                       sum(p.deg) OVER (ORDER BY p.k)::BIGINT AS vol
+                FROM pfx p LEFT JOIN events e ON e.k = p.k)
+        SELECT k, id, score_q12, cut, vol,
+               CASE WHEN least(vol, (SELECT m2 FROM twom) - vol) > 0
+                    THEN ((cut * 1000000)
+                          // least(vol, (SELECT m2 FROM twom) - vol))
+                    END::BIGINT AS phi_q6
+        FROM cum""")
+    return "".join(parts)
+
+
 def _betweenness_unrolled_sql(sources, depth: int) -> str:
     """Generate the level-unrolled DuckDB Brandes chain mirroring
     operators/betweenness.py: forward levels l{k} carry exact BIGINT
@@ -3464,6 +3557,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM verts v LEFT JOIN g3 g ON v.id = g.id)
             SELECT id, round(pr, 9) AS pr FROM p3
         """,
+        "sweep_cut": _sweep_cut_sql(PPR_SOURCE, 3, SWEEP_PREFIX),
         "ppr_k3": f"""
             WITH edges AS ({_EDGE_SQL}),
             n AS (SELECT (max(greatest(src, dst)) + 1)::BIGINT AS n FROM edges),

@@ -152,6 +152,9 @@ def main() -> None:
           lambda: scc_condensation(g.edges, n=g.n).count())
     from pagerank_spark.operators.truss import k_truss
     timed("ktruss_20", lambda: k_truss(g.edges, 20).count())
+    from pagerank_spark.operators.localcluster import sweep_cut
+    timed("sweep_cut",
+          lambda: sweep_cut(g, 1, max_iter=3, max_prefix=24).count())
     from pagerank_spark.operators.neighborhood import hyperball_harmonic
     timed("hyperball_harmonic",
           lambda: hyperball_harmonic(g.edges, 3).agg(
