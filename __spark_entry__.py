@@ -95,6 +95,7 @@ CMS_DEPTH = 4
 CMS_TOPK = 20
 # histogram quantile sketch (pipeline/sketches.py), both engines.
 HIST_BUCKET_WIDTH = 64
+EV_HIST_WIDTH = 16  # events value-histogram bucket width, both engines
 # Efraimidis-Spirakis weighted sample (pipeline/curation.py).
 WS_K = 12
 WS_SEED = 42
@@ -1607,6 +1608,41 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_value_quantiles(spark, sf_dir):
+    """Per (hour, event_type) approximate value quantiles from the
+    STREAMING-aggregatable fixed-width histogram (streaming.py::
+    windowed_value_histogram — the same mergeable counter rows a
+    structured stream maintains incrementally); extraction is the
+    integer per-mille rank compare of the pipeline sketch, estimate =
+    the bucket's exclusive upper edge."""
+    from pagerank_spark.streaming import windowed_value_histogram
+
+    ev = _read(spark, sf_dir, "events")
+    hist = (
+        windowed_value_histogram(ev, "1 hour",
+                                 bucket_width=EV_HIST_WIDTH)
+        .select(F.date_format("window_start",
+                              "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                "event_type", "bucket", "cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("hour", "event_type").orderBy("bucket")
+    wt = Window.partitionBy("hour", "event_type")
+    qs = spark.createDataFrame([(500,), (900,), (990,)],
+                               "q_permille BIGINT")
+    cum = hist.select(
+        "hour", "event_type", "bucket",
+        F.sum("cnt").over(w).alias("c"),
+        F.sum("cnt").over(wt).alias("total"))
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        .where(F.col("c") * 1000 >= F.col("q_permille") * F.col("total"))
+        .groupBy("hour", "event_type", "q_permille")
+        .agg(F.min((F.col("bucket") + 1) * EV_HIST_WIDTH)
+             .alias("quantile_est"))
+    )
+
+
 def q_events_props_agg(spark, sf_dir):
     """Semi-structured JSON extraction over the events ``props``
     column (the WARC/metadata-parsing face of a web-scale ingest):
@@ -1867,6 +1903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "in_adjacency": q_in_adjacency,  # unsalted parity face
         "exact_dup_groups": q_exact_dup_groups,  # 0-row at these SFs; stats/filter faces cover it
         "events_hourly": q_events_hourly,  # basic tumbling-window face
+        "events_value_quantiles": q_events_value_quantiles,  # streaming
+        # mergeable-histogram quantile face
         "bfs_directed": q_bfs_directed,  # directed bfs face
         "components_domain": q_components_domain,  # CC dense-domain face
         "pii_redacted": q_pii_redacted,  # same patterns as pii_stats
@@ -4861,6 +4899,31 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(exp(-{0.6931471805599453 / 3_600_000.0!r}
                                  * (mx.mxms - e.ms))), {ROUND}) AS score
             FROM e JOIN mx USING (user_id) GROUP BY e.user_id
+        """,
+        "events_value_quantiles": f"""
+            WITH hist AS (
+                SELECT strftime(date_trunc('hour', ts),
+                                '%Y-%m-%d %H:%M:%S') AS hour,
+                       event_type,
+                       floor(value / {float(EV_HIST_WIDTH)!r})::BIGINT
+                           AS bucket,
+                       count(*)::BIGINT AS cnt
+                FROM events GROUP BY 1, 2, 3),
+            cum AS (
+                SELECT hour, event_type, bucket,
+                       sum(cnt) OVER (PARTITION BY hour, event_type
+                                      ORDER BY bucket)::BIGINT AS c,
+                       sum(cnt) OVER (PARTITION BY hour,
+                                      event_type)::BIGINT AS total
+                FROM hist)
+            SELECT hour, event_type, q_permille,
+                   min((bucket + 1) * {EV_HIST_WIDTH})::BIGINT
+                       AS quantile_est
+            FROM cum
+            CROSS JOIN (SELECT unnest([500, 900, 990])::BIGINT
+                        AS q_permille) qs
+            WHERE c * 1000 >= q_permille * total
+            GROUP BY 1, 2, 3
         """,
         "events_hourly": f"""
             SELECT strftime(date_trunc('hour', ts),

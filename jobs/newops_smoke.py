@@ -180,6 +180,40 @@ def main() -> None:
 
         timed("scan_sparse", _scan_sparse)
 
+        def _scan_planted():
+            # Planted-partition face: the zipf-random sparse graph has
+            # near-zero structural similarity (scan_sparse returns an
+            # honest empty census), so recovery is evidenced on 250k
+            # planted 8-cliques (2M vertices, 7M clique edges) plus 2M
+            # deterministic noise edges — SCAN must label essentially
+            # every vertex with its block.
+            from pagerank_spark.operators.scan import scan_clusters
+
+            N, C = 2_000_000, 8
+            v = spark.range(N).select(
+                "id", F.expr(f"id DIV {C}").alias("b"))
+            clique = (
+                v.select(F.col("id").alias("src"), "b")
+                .join(v.select(F.col("id").alias("dst"), "b"), "b")
+                .where(F.col("src") < F.col("dst"))
+                .select("src", "dst"))
+            noise = spark.range(N).select(
+                F.pmod(F.xxhash64(F.col("id"), F.lit("a")), F.lit(N))
+                .alias("src"),
+                F.pmod(F.xxhash64(F.col("id"), F.lit("b")), F.lit(N))
+                .alias("dst"))
+            out = scan_clusters(clique.unionByName(noise),
+                                eps_num=2, eps_den=5, mu=3)
+            row = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("cluster").alias("clusters"),
+                F.sum(F.col("is_core").cast("long")).alias("cores"),
+            ).first()
+            return {"clustered": row["n"], "clusters": row["clusters"],
+                    "cores": row["cores"]}
+
+        timed("scan_planted_sparse", _scan_planted)
+
         def _hyperball_sparse():
             from pagerank_spark.operators.neighborhood import (
                 hyperball_harmonic)

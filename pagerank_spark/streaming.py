@@ -50,6 +50,41 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+def windowed_value_histogram(events: DataFrame, window: str = "1 hour",
+                             watermark: str = "2 hours",
+                             bucket_width: int = 16) -> DataFrame:
+    """Tumbling-window fixed-width histogram of ``value`` per
+    event_type — the STREAMING face of the mergeable quantile sketch
+    (pipeline/sketches.py): bucket = floor(value / width), one
+    bounded counter row per (window, type, bucket), and counts from
+    any two shards/batches merge by addition, so the sketch is a
+    plain windowed aggregation Structured Streaming maintains
+    incrementally (watermark bounds state; late rows fold in
+    exactly).  Quantile EXTRACTION (histogram_quantiles) runs on the
+    materialized sink — the standard split for sketches on streams:
+    the stream maintains the mergeable state, readers derive the
+    statistic.
+
+    Works on batch and streaming inputs; batch≡stream equality is
+    pinned in tests/test_streaming.py.
+    """
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(
+            F.window("ts", window).alias("w"), "event_type",
+            F.floor(F.col("value") / F.lit(float(bucket_width)))
+            .cast("bigint").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "bucket", "cnt")
+    )
+
+
 def sessionized(events: DataFrame, gap: str = "30 minutes",
                 watermark: str = "2 hours") -> DataFrame:
     """Per-user session aggregates via ``session_window`` — Spark's

@@ -168,3 +168,40 @@ def test_enriched_event_counts_stream_equals_batch(spark, tmp_path):
         for r in spark.table("enriched_counts").collect()
     }
     assert got == want
+
+
+def test_value_histogram_stream_equals_batch_and_merges(spark, tmp_path):
+    batch_src, glob = _stage_event_chunks(spark, tmp_path)
+    want = {
+        (r["window_start"], r["event_type"], r["bucket"]): r["cnt"]
+        for r in streaming.windowed_value_histogram(batch_src).collect()
+    }
+    assert want  # non-trivial histogram
+
+    stream = streaming.read_events_stream(spark, glob)
+    hist = streaming.windowed_value_histogram(stream)
+    streaming.run_stream_to_memory(hist, "value_hist", "complete")
+    got = {
+        (r["window_start"], r["event_type"], r["bucket"]): r["cnt"]
+        for r in spark.table("value_hist").collect()
+    }
+    assert got == want
+
+    # shard-merge law: per-chunk batch histograms sum to the whole
+    chunks = spark.read.parquet(glob.replace("chunk=*", "chunk=0"))
+    rest_keys = {}
+    for c in (0, 1, 2):
+        part = spark.read.parquet(glob.replace("chunk=*", f"chunk={c}"))
+        for r in streaming.windowed_value_histogram(part).collect():
+            k = (r["window_start"], r["event_type"], r["bucket"])
+            rest_keys[k] = rest_keys.get(k, 0) + r["cnt"]
+    assert rest_keys == want
+    del chunks
+
+
+def test_value_histogram_rejects_bad_width(spark):
+    import pytest
+
+    src = spark.read.parquet(f"{SF}/events.parquet")
+    with pytest.raises(ValueError):
+        streaming.windowed_value_histogram(src, bucket_width=0)
