@@ -96,6 +96,7 @@ CMS_TOPK = 20
 # histogram quantile sketch (pipeline/sketches.py), both engines.
 HIST_BUCKET_WIDTH = 64
 EV_HIST_WIDTH = 16  # events value-histogram bucket width, both engines
+SUB_WIN = 8  # substring-dedup window tokens, both engines
 # Efraimidis-Spirakis weighted sample (pipeline/curation.py).
 WS_K = 12
 WS_SEED = 42
@@ -1608,6 +1609,17 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_substring_dups(spark, sf_dir):
+    """Exact-substring dedup at window granularity (Lee et al. 2022):
+    maximal merged token spans whose 8-token windows repeat anywhere
+    in the corpus — md5 window hashes, integer positions, and the
+    lag-gap island merge, all replayed exactly by the oracle."""
+    from pagerank_spark.pipeline.dedup import substring_dup_spans
+
+    return substring_dup_spans(_read(spark, sf_dir, "documents"),
+                               window_tokens=SUB_WIN)
+
+
 def q_events_value_quantiles(spark, sf_dir):
     """Per (hour, event_type) approximate value quantiles from the
     STREAMING-aggregatable fixed-width histogram (streaming.py::
@@ -1912,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_vertex_ids": q_repo_vertex_ids,  # inside repo_pagerank_k3
         "exact_dup_stats": q_exact_dup_stats,  # exact_dup_groups face
         "docs_deduped": q_docs_deduped,  # exact-dedup filter face
+        "substring_dups": q_substring_dups,  # exact-substring spans
         "doc_sample_stats": q_doc_sample_stats,  # docs_curated face
         "sssp_directed": q_sssp_directed,  # sssp/bfs_directed face
         "docs_decontaminated": q_docs_decontaminated,  # anti-join face
@@ -4899,6 +4912,39 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(exp(-{0.6931471805599453 / 3_600_000.0!r}
                                  * (mx.mxms - e.ms))), {ROUND}) AS score
             FROM e JOIN mx USING (user_id) GROUP BY e.user_id
+        """,
+        "substring_dups": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents),
+            wins AS (
+                SELECT doc_id, gs::BIGINT AS start_tok,
+                       md5(array_to_string(
+                           t[gs:gs + {SUB_WIN - 1}], ' ')) AS h
+                FROM toks,
+                     unnest(generate_series(1, len(t) - {SUB_WIN - 1}))
+                         AS u(gs)
+                WHERE len(t) >= {SUB_WIN}),
+            dup AS (SELECT h FROM wins GROUP BY h
+                    HAVING count(*) >= 2),
+            hits AS (SELECT w.doc_id, w.start_tok
+                     FROM wins w JOIN dup USING (h)),
+            gaps AS (
+                SELECT doc_id, start_tok,
+                       CASE WHEN start_tok > lag(start_tok) OVER (
+                               PARTITION BY doc_id ORDER BY start_tok)
+                               + {SUB_WIN} THEN 1 ELSE 0 END AS gap
+                FROM hits),
+            isl AS (
+                SELECT doc_id, start_tok,
+                       sum(gap) OVER (PARTITION BY doc_id
+                                      ORDER BY start_tok) AS island
+                FROM gaps)
+            SELECT doc_id, min(start_tok) AS span_start,
+                   (max(start_tok) + {SUB_WIN - 1}) AS span_end,
+                   count(*)::BIGINT AS n_windows
+            FROM isl GROUP BY doc_id, island
         """,
         "events_value_quantiles": f"""
             WITH hist AS (

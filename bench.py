@@ -267,6 +267,9 @@ def main() -> None:
     timed("jaccard_pairs",
           lambda: dedup.ngram_jaccard_pairs(
               docs, threshold=0.8, max_df=100).count())
+    timed("substring_dups",
+          lambda: dedup.substring_dup_spans(docs, window_tokens=8)
+          .count())
     timed("doc_dup_fraction",
           lambda: dedup.duplication_fraction(docs).agg(
               F.sum("dup_frac_q6")).collect())

@@ -867,3 +867,44 @@ def test_resize_validation(spark):
 
     with _pytest.raises(ValueError):
         multimodal.resize_media(media, out_w=0)
+
+
+# ------------------------------------------------- exact-substring dedup
+
+def test_substring_dup_spans_shared_boilerplate(spark):
+    # Docs 0 and 1 share a 10-token license block at different
+    # offsets; doc 2 is clean.  W=8 ⇒ 3 dup windows per doc, merging
+    # into ONE span covering tokens of the shared block.
+    block = "this code is licensed under the apache two license"  # 9 toks
+    d = _mk_docs(spark, [
+        block + " alpha beta gamma delta",
+        "intro words here " + block,
+        "totally unrelated text with many distinct tokens present",
+    ])
+    rows = dedup.substring_dup_spans(d, window_tokens=8).collect()
+    got = {r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+           for r in rows}
+    # doc 0: block at tokens 1-9 -> windows start 1..2 -> span 1..9
+    assert got[0] == (1, 9, 2)
+    # doc 1: block at tokens 4-12 -> windows start 4..5 -> span 4..12
+    assert got[1] == (4, 12, 2)
+    assert 2 not in got
+
+
+def test_substring_dup_spans_island_merge_and_within_doc(spark):
+    # one doc repeating an 8-token phrase twice with a unique word
+    # between: the phrase duplicates WITHIN the doc; the two
+    # occurrences are separate islands (gap > window).
+    phrase = "one two three four five six seven eight"
+    d = _mk_docs(spark, [phrase + " unique9 " + phrase])
+    rows = dedup.substring_dup_spans(d, window_tokens=8).collect()
+    spans = sorted((r["span_start"], r["span_end"]) for r in rows)
+    assert spans == [(1, 8), (10, 17)]
+
+
+def test_substring_dup_spans_rejects_bad_params(spark):
+    d = _mk_docs(spark, ["a"])
+    with pytest.raises(ValueError):
+        dedup.substring_dup_spans(d, window_tokens=0)
+    with pytest.raises(ValueError):
+        dedup.substring_dup_spans(d, min_occurrences=1)
