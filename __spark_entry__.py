@@ -1609,6 +1609,16 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_bowtie(spark, sf_dir):
+    """Broder bow-tie decomposition (WWW'00): giant SCC, IN (reaches
+    it), OUT (reached from it), other — one SCC run + two
+    multi-source BFS waves; the oracle classifies via the recursive
+    transitive closure against the giant's canonical label."""
+    from pagerank_spark.operators.scc import bowtie_regions
+
+    return bowtie_regions(_edges(spark, sf_dir))
+
+
 def q_substring_dups(spark, sf_dir):
     """Exact-substring dedup at window granularity (Lee et al. 2022):
     maximal merged token spans whose 8-token windows repeat anywhere
@@ -1907,7 +1917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   alpha-crossing over distance_distribution's integer sums
         "kcore": q_kcore,  # fixed-k peel face: the {coreness >= k}
         #   slice of core_decomposition (which took its window slot)
-        "scc_condensation": q_scc_condensation,  # derived from scc
+        "scc_condensation": q_scc_condensation,
+        "bowtie_regions": q_bowtie,  # derived from scc
         "condensation_levels": q_condensation_levels,  # DAG layering over scc
         "diameter_2sweep": q_diameter_2sweep,  # two bfs_depths runs
         "closeness_centrality": q_closeness_centrality,  # harmonic face
@@ -4912,6 +4923,41 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(exp(-{0.6931471805599453 / 3_600_000.0!r}
                                  * (mx.mxms - e.ms))), {ROUND}) AS score
             FROM e JOIN mx USING (user_id) GROUP BY e.user_id
+        """,
+        "bowtie_regions": f"""
+            WITH RECURSIVE edges AS MATERIALIZED ({_EDGE_SQL}),
+            n AS (SELECT max(greatest(src, dst)) + 1 AS n FROM edges),
+            verts AS (SELECT unnest(generate_series(0,
+                (SELECT n - 1 FROM n)))::BIGINT AS id),
+            reach(a, b) AS (
+                SELECT src, dst FROM edges WHERE src <> dst
+                UNION
+                SELECT r.a, e.dst FROM reach r
+                JOIN edges e ON r.b = e.src WHERE e.src <> e.dst),
+            mutual AS (
+                SELECT r1.a, r1.b FROM reach r1
+                JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+            sccs AS (
+                SELECT v.id, least(v.id, coalesce(min(m.b), v.id)) AS lbl
+                FROM verts v LEFT JOIN mutual m ON m.a = v.id
+                GROUP BY v.id),
+            giant AS (SELECT lbl FROM (
+                SELECT lbl, count(*) AS sz FROM sccs GROUP BY lbl
+                ORDER BY sz DESC, lbl ASC LIMIT 1)),
+            members AS (SELECT id FROM sccs
+                        WHERE lbl = (SELECT lbl FROM giant))
+            SELECT v.id,
+                   CASE WHEN v.id IN (SELECT id FROM members) THEN 'scc'
+                        WHEN EXISTS (SELECT 1 FROM reach r
+                                     WHERE r.a = v.id
+                                       AND r.b = (SELECT lbl FROM giant))
+                            THEN 'in'
+                        WHEN EXISTS (SELECT 1 FROM reach r
+                                     WHERE r.a = (SELECT lbl FROM giant)
+                                       AND r.b = v.id)
+                            THEN 'out'
+                        ELSE 'other' END AS region
+            FROM verts v
         """,
         "substring_dups": f"""
             WITH toks AS (

@@ -148,6 +148,10 @@ def main() -> None:
     from pagerank_spark.operators.walks import node2vec_walks
     timed("node2vec_k3",
           lambda: node2vec_walks(g.edges, num_steps=3).count())
+    from pagerank_spark.operators.scc import bowtie_regions
+    timed("bowtie",
+          lambda: bowtie_regions(g.edges, n=g.n)
+          .groupBy("region").count().collect())
     timed("scc_condensation",
           lambda: scc_condensation(g.edges, n=g.n).count())
     from pagerank_spark.operators.truss import k_truss

@@ -5,6 +5,7 @@ from collections import defaultdict
 
 import pytest
 
+from conftest import edges_df
 from pagerank_spark.operators.scc import strongly_connected_components
 
 
@@ -162,3 +163,79 @@ def test_scc_max_rounds_exhaustion_warns_and_completes_domain(spark):
                                              max_rounds=1).collect()}
     # domain complete; labels are provisional singletons, not converged
     assert set(got) == set(range(5))
+
+
+# ------------------------------------------------------------ bow-tie
+
+def bowtie_oracle(edges, n):
+    """Brute-force Broder regions via transitive closure."""
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+
+    def closure(starts, graph):
+        seen = set(starts)
+        frontier = list(starts)
+        while frontier:
+            nxt = []
+            for v in frontier:
+                for u in graph.get(v, ()):
+                    if u not in seen:
+                        seen.add(u)
+                        nxt.append(u)
+            frontier = nxt
+        return seen
+
+    reach = {v: closure({v}, adj) for v in range(n)}
+    sccs: dict[int, int] = {}
+    for v in range(n):
+        members = {u for u in reach[v] if v in reach[u]} | {v}
+        sccs[v] = min(members)
+    sizes: dict[int, int] = {}
+    for v, l in sccs.items():
+        sizes[l] = sizes.get(l, 0) + 1
+    giant = min(l for l in sizes if sizes[l] == max(sizes.values()))
+    out = {}
+    for v in range(n):
+        if sccs[v] == giant:
+            out[v] = "scc"
+        elif giant in reach[v]:
+            out[v] = "in"
+        elif v in reach[giant]:
+            out[v] = "out"
+        else:
+            out[v] = "other"
+    return out
+
+
+def test_bowtie_hand_fixture(spark):
+    from pagerank_spark.operators.scc import bowtie_regions
+
+    # giant SCC {2,3,4}; IN: 0 -> 1 -> 2; OUT: 4 -> 5 -> 6;
+    # tendril off IN: 1 -> 7 (reaches nothing in giant -> 'out'? no:
+    # 7 unreachable from giant and cannot reach it -> 'other');
+    # disconnected: 8 <-> 9 (smaller SCC -> 'other').
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 2),
+             (4, 5), (5, 6), (1, 7), (8, 9), (9, 8)]
+    got = {r["id"]: r["region"]
+           for r in bowtie_regions(edges_df(spark, edges), n=10).collect()}
+    assert got == {0: "in", 1: "in", 2: "scc", 3: "scc", 4: "scc",
+                   5: "out", 6: "out", 7: "other", 8: "other",
+                   9: "other"}
+    assert got == bowtie_oracle(edges, 10)
+
+
+def test_bowtie_random_digraphs(spark):
+    import random
+
+    from pagerank_spark.operators.scc import bowtie_regions
+
+    rng = random.Random(47)
+    for trial in range(2):
+        edges = list({(rng.randrange(12), rng.randrange(12))
+                      for _ in range(25)})
+        got = {r["id"]: r["region"]
+               for r in bowtie_regions(edges_df(spark, edges),
+                                       n=12).collect()}
+        assert got == bowtie_oracle(edges, 12), (trial, edges)
