@@ -8,7 +8,7 @@ jobs/pagerank_job.py).
         --algos cc,lpa,triangles,bfs,sssp,hits,katz,kcore,ppr,scc,wpr,lcc,degdist \
         [--algos ...,linkpred,harmonic,walks,condense,ktruss,diameter] \
         [--algos ...,eigen,closeness,bipartite,mis,levels,betweenness] \
-        [--algos ...,neighborhood,node2vec,scan] \
+        [--algos ...,neighborhood,node2vec,scan,bowtie,sweepcut,hyperharmonic] \
         [--source 0] [--k 3] [--max-iter 20] [--out result.json]
 
 Every algorithm prints its summary into ONE JSON line, so the job is
@@ -106,7 +106,8 @@ def main() -> None:
                        "levels", "betweenness", "neighborhood", "coreness",
                        "msf", "coloring", "densest", "rectangles",
                        "salsa", "matching", "coarsen", "spread",
-                       "fiedler", "node2vec", "scan"}
+                       "fiedler", "node2vec", "scan", "bowtie", "sweepcut",
+                       "hyperharmonic"}
     if unknown:
         raise SystemExit(f"unknown algos: {sorted(unknown)}")
 
@@ -256,6 +257,37 @@ def main() -> None:
                     "cores": row["cores"]}
 
         run("scan", _scan)
+    if "bowtie" in algos:
+        from pagerank_spark.operators.scc import bowtie_regions
+
+        def _bowtie():
+            rows = bowtie_regions(g.edges, n=g.n).groupBy(
+                "region").count().collect()
+            return {r["region"]: r["count"] for r in rows}
+
+        run("bowtie", _bowtie)
+    if "sweepcut" in algos:
+        from pagerank_spark.operators.localcluster import (
+            best_local_cluster, sweep_cut)
+
+        def _sweep():
+            best = best_local_cluster(
+                sweep_cut(g, args.source, max_iter=args.k,
+                          max_prefix=32)).first()
+            return {"k": best["k"], "cut": best["cut"],
+                    "vol": best["vol"], "phi_q6": best["phi_q6"]}
+
+        run("sweepcut", _sweep)
+    if "hyperharmonic" in algos:
+        from pagerank_spark.operators.neighborhood import hyperball_harmonic
+
+        def _hh():
+            row = hyperball_harmonic(g.edges, 3).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("harmonic_q").alias("sum_q")).first()
+            return {"scored": row["n"], "sum_q": row["sum_q"]}
+
+        run("hyperharmonic", _hh)
     if "condense" in algos:
         from pagerank_spark.operators.scc import scc_condensation
 

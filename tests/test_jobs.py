@@ -89,11 +89,15 @@ def test_graph_job_round5b_algos(spark, tmp_path):
 def test_graph_job_round5c_algos(spark, tmp_path):
     path, _ = _stage_edges(spark, tmp_path)
     got = _run("graph_job.py", "--edges", path, "--master", "local[4]",
-               "--algos", "node2vec,scan", "--walk-steps", "3")
+               "--algos", "node2vec,scan,bowtie,sweepcut,hyperharmonic",
+               "--walk-steps", "3", "--source", "0", "--k", "3")
     a = got["algos"]
     assert a["node2vec"]["rows"] >= 1
     assert a["scan"]["clustered"] >= 0
     assert a["scan"]["cores"] <= a["scan"]["clustered"]
+    assert sum(v for k, v in a["bowtie"].items() if k != "sec") == 20
+    assert a["sweepcut"]["k"] >= 1
+    assert a["hyperharmonic"]["scored"] >= 1
 
 
 def test_graph_job_rejects_unknown_algo(spark, tmp_path):
