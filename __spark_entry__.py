@@ -1637,6 +1637,7 @@ def q_events_value_quantiles(spark, sf_dir):
     structured stream maintains incrementally); extraction is the
     integer per-mille rank compare of the pipeline sketch, estimate =
     the bucket's exclusive upper edge."""
+    from pagerank_spark.pipeline.sketches import histogram_quantiles
     from pagerank_spark.streaming import windowed_value_histogram
 
     ev = _read(spark, sf_dir, "events")
@@ -1646,23 +1647,9 @@ def q_events_value_quantiles(spark, sf_dir):
         .select(F.date_format("window_start",
                               "yyyy-MM-dd HH:mm:ss").alias("hour"),
                 "event_type", "bucket", "cnt"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("hour", "event_type").orderBy("bucket")
-    wt = Window.partitionBy("hour", "event_type")
-    qs = spark.createDataFrame([(500,), (900,), (990,)],
-                               "q_permille BIGINT")
-    cum = hist.select(
-        "hour", "event_type", "bucket",
-        F.sum("cnt").over(w).alias("c"),
-        F.sum("cnt").over(wt).alias("total"))
-    return (
-        cum.crossJoin(F.broadcast(qs))
-        .where(F.col("c") * 1000 >= F.col("q_permille") * F.col("total"))
-        .groupBy("hour", "event_type", "q_permille")
-        .agg(F.min((F.col("bucket") + 1) * EV_HIST_WIDTH)
-             .alias("quantile_est"))
-    )
+    return histogram_quantiles(
+        hist, bucket_width=EV_HIST_WIDTH,
+        group_cols=("hour", "event_type"), edge_offset=0)
 
 
 def q_events_props_agg(spark, sf_dir):

@@ -272,8 +272,10 @@ def main() -> None:
 
         def _sweep():
             best = best_local_cluster(
-                sweep_cut(g, args.source, max_iter=args.k,
+                sweep_cut(g, args.source, max_iter=args.max_iter,
                           max_prefix=32)).first()
+            if best is None:          # seed unreachable / empty prefix
+                return {"k": 0, "cut": 0, "vol": 0, "phi_q6": None}
             return {"k": best["k"], "cut": best["cut"],
                     "vol": best["vol"], "phi_q6": best["phi_q6"]}
 

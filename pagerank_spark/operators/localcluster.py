@@ -109,11 +109,19 @@ def sweep_cut(
             F.greatest(F.coalesce("k_src", F.lit(1 << 40)),
                        F.coalesce("k_dst", F.lit(1 << 40))).alias("r_hi"))
     )
+    # Both events of an edge emit from ONE row (conditional-array
+    # explode), so the canon-vs-rank-table pass genuinely runs once —
+    # a unionByName over `touched` would re-execute the edge scan and
+    # both broadcast joins for each branch.
+    ev_arr = F.array(
+        F.struct(F.col("r_lo").alias("k"), F.lit(1).alias("ev")),
+        F.when(F.col("r_hi") <= max_prefix,
+               F.struct(F.col("r_hi").alias("k"),
+                        F.lit(-1).alias("ev"))))
     events = (
-        touched.select(F.col("r_lo").alias("k"), F.lit(1).alias("ev"))
-        .unionByName(
-            touched.where(F.col("r_hi") <= max_prefix)
-            .select(F.col("r_hi").alias("k"), F.lit(-1).alias("ev")))
+        touched.select(F.explode(ev_arr).alias("e"))
+        .where(F.col("e").isNotNull())
+        .select(F.col("e.k").alias("k"), F.col("e.ev").alias("ev"))
         .groupBy("k").agg(F.sum("ev").alias("dcut"))
     )
     wk = Window.orderBy("k")   # P rows — driver-trivial at any scale

@@ -107,8 +107,18 @@ def scan_clusters(edges: DataFrame, eps_num: int = 6, eps_den: int = 10,
         .unionByName(eps_edges.select(F.col("hi").alias("id")))
         .groupBy("id").agg(F.count(F.lit(1)).alias("eps_deg"))
     )
-    # closed ε-neighborhood: the vertex itself counts toward μ
-    cores = eps_deg.where(F.col("eps_deg") + 1 >= mu).select("id")
+    # closed ε-neighborhood: the vertex itself counts toward μ.  The
+    # count starts from EVERY vertex of the graph (not just ε-edge
+    # endpoints), so at μ = 1 an ε-isolated vertex is still the
+    # singleton core the documented rule makes it.
+    verts = (sim.select(F.col("lo").alias("id"))
+             .unionByName(sim.select(F.col("hi").alias("id")))
+             .distinct())
+    cores = (
+        verts.join(eps_deg, "id", "left")
+        .where(F.coalesce(F.col("eps_deg"), F.lit(0)) + 1 >= mu)
+        .select("id")
+    )
     cores = cores.localCheckpoint(eager=True)
     cc_edges = (
         eps_edges

@@ -257,8 +257,20 @@ def _node2vec_loop(und: DataFrame, starts: DataFrame, num_steps: int,
                       F.lit(1).alias("p_hit"))
            .repartition(und.rdd.getNumPartitions(), "p_src", "p_dst")
            .persist())
+    laid_out = False
     for t in range(1, num_steps + 1):
         small = f_rows <= BROADCAST_MAX_FRONTIER
+        if not small and not laid_out:
+            # Above the broadcast bound the candidate probe becomes a
+            # shuffle join every step; pay the src re-layout of the
+            # cached edge set ONCE instead (random_walks' laid_out
+            # branch) so later steps exchange only the frontier side.
+            relaid = und.repartition(
+                und.rdd.getNumPartitions(), "src").persist()
+            relaid.count()
+            und.unpersist()
+            und = relaid
+            laid_out = True
         f_side = frontier.select("walk_id", "prev",
                                  F.col("cur").alias("src"))
         if small:
@@ -319,4 +331,6 @@ def _node2vec_loop(und: DataFrame, starts: DataFrame, num_steps: int,
     result = out.select("walk_id", "step", "id").localCheckpoint(eager=True)
     frontier.unpersist()
     adj.unpersist()
+    if laid_out:
+        und.unpersist()   # the relaid copy; the caller releases its own
     return result

@@ -149,33 +149,43 @@ def length_histogram(docs: DataFrame, bucket_width: int = 64,
 
 def histogram_quantiles(hist: DataFrame,
                         quantiles_permille: tuple[int, ...] = (500, 900, 990),
-                        bucket_width: int = 64) -> DataFrame:
-    """(grp, q_permille, quantile_est) from a (merged) histogram:
-    the estimate for quantile q is the inclusive upper edge
-    ``(b+1)·width − 1`` of the smallest bucket b whose cumulative
-    count reaches ⌈q·total⌉ — biased high by at most one bucket
-    width, the textbook equi-width histogram bound.  Quantiles are
-    integer per-mille so the rank comparison ``cum·1000 ≥ q·total``
-    is exact integer arithmetic (no float rank, no ulp drift).
+                        bucket_width: int = 64,
+                        group_cols: tuple[str, ...] = ("grp",),
+                        edge_offset: int = -1) -> DataFrame:
+    """(*group_cols, q_permille, quantile_est) from a (merged)
+    histogram: the estimate for quantile q is the upper edge
+    ``(b+1)·width + edge_offset`` of the smallest bucket b whose
+    cumulative count reaches ⌈q·total⌉ — biased high by at most one
+    bucket width, the textbook equi-width histogram bound.  The
+    default ``edge_offset = -1`` is the INCLUSIVE upper edge of an
+    integer-valued domain (document lengths); pass ``0`` for the
+    exclusive edge of a continuous domain (event values).  Quantiles
+    are integer per-mille so the rank comparison ``cum·1000 ≥
+    q·total`` is exact integer arithmetic (no float rank, no ulp
+    drift).
 
-    The cumulative window runs over the SKETCH (≤ max_len/width rows
+    The cumulative window runs over the SKETCH (≤ range/width rows
     per group), not the corpus — driver-trivial at any corpus size.
+    This one extractor serves every histogram face: the corpus-length
+    sketch here and the streaming value histogram
+    (streaming.windowed_value_histogram → q_events_value_quantiles).
     """
     spark = hist.sparkSession
     qs = spark.createDataFrame([(int(q),) for q in quantiles_permille],
                                "q_permille BIGINT")
     from pyspark.sql import Window
 
-    w = Window.partitionBy("grp").orderBy("bucket")
+    gcols = list(group_cols)
+    w = Window.partitionBy(*gcols).orderBy("bucket")
     cum = hist.select(
-        "grp", "bucket",
+        *gcols, "bucket",
         F.sum("cnt").over(w).alias("c"),
-        F.sum("cnt").over(Window.partitionBy("grp")).alias("total"))
+        F.sum("cnt").over(Window.partitionBy(*gcols)).alias("total"))
     return (
         cum.crossJoin(F.broadcast(qs))
         .where(F.col("c") * 1000 >= F.col("q_permille") * F.col("total"))
-        .groupBy("grp", "q_permille")
-        .agg(F.min((F.col("bucket") + 1) * bucket_width - 1)
+        .groupBy(*gcols, "q_permille")
+        .agg(F.min((F.col("bucket") + 1) * bucket_width + edge_offset)
              .alias("quantile_est"))
     )
 

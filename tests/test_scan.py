@@ -117,3 +117,13 @@ def test_scan_rejects_bad_params(spark):
         scan_clusters(df, eps_num=1, eps_den=0)
     with pytest.raises(ValueError):
         scan_clusters(df, mu=0)
+
+
+def test_scan_mu_one_isolated_cores(spark):
+    # μ=1: every edge-incident vertex is a core by the closed-
+    # neighborhood rule, even with zero ε-similar neighbors (a path
+    # graph at ε=1 has no ε-edges at all — all singleton cores).
+    edges = [(0, 1), (1, 2), (2, 3)]
+    got = _got(spark, edges, 1, 1, 1)
+    assert got == scan_oracle(edges, 1.0, 1)
+    assert got == {v: (v, True) for v in range(4)}
