@@ -252,10 +252,11 @@ def _node2vec_loop(und: DataFrame, starts: DataFrame, num_steps: int,
     # key once: HashPartitioning(p_src, p_dst) satisfies the join's
     # required distribution, so every later step shuffles ONLY the
     # candidate side — the adjacency never re-exchanges.
+    n_parts = max(und.rdd.getNumPartitions(), 1)  # 0 when und is empty
     adj = (und.select(F.col("src").alias("p_src"),
                       F.col("dst").alias("p_dst"),
                       F.lit(1).alias("p_hit"))
-           .repartition(und.rdd.getNumPartitions(), "p_src", "p_dst")
+           .repartition(n_parts, "p_src", "p_dst")
            .persist())
     laid_out = False
     for t in range(1, num_steps + 1):
@@ -265,8 +266,7 @@ def _node2vec_loop(und: DataFrame, starts: DataFrame, num_steps: int,
             # shuffle join every step; pay the src re-layout of the
             # cached edge set ONCE instead (random_walks' laid_out
             # branch) so later steps exchange only the frontier side.
-            relaid = und.repartition(
-                und.rdd.getNumPartitions(), "src").persist()
+            relaid = und.repartition(n_parts, "src").persist()
             relaid.count()
             und.unpersist()
             und = relaid
