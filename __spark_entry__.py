@@ -3238,14 +3238,15 @@ def _node2vec_unrolled_sql(steps: int, wr: int, wc: int, wf: int) -> str:
     return "".join(parts)
 
 
-def _sweep_cut_sql(source: int, steps: int, prefix: int) -> str:
-    """Generate the DuckDB replay of operators/localcluster.py:
-    the ppr_k3-style unrolled PPR chain, degree-normalized scores
-    rounded to 12 digits with id tiebreak, the top-``prefix`` rank
-    table, the ±1 cut event trick, and the pure-integer cumulative
-    cut/vol with phi_q6 = cut·10⁶ // min(vol, 2m−vol)."""
+def _ppr_unrolled_cte(source: int, steps: int) -> str:
+    """The CTE chain ``edges … p{steps}`` replaying
+    operators/ppr.py::personalized_pagerank from the zero vector
+    (step 1 = 0.15·restart; each later step the damped gather +
+    dangling-mass-to-source affine update).  ONE generator serves
+    every PPR-derived oracle (ppr_k3 and the sweep-cut chain), so a
+    future semantics change cannot drift them apart."""
     parts = [
-        f"WITH edges AS MATERIALIZED ({_EDGE_SQL}),",
+        f"edges AS MATERIALIZED ({_EDGE_SQL}),",
         "n AS (SELECT (max(greatest(src, dst)) + 1)::BIGINT AS n"
         " FROM edges),",
         "outd AS (SELECT src AS id, count(*)::DOUBLE AS od"
@@ -3269,6 +3270,17 @@ def _sweep_cut_sql(source: int, steps: int, prefix: int) -> str:
                           + 0.15 * CASE WHEN v.id = {source}
                                    THEN 1 ELSE 0 END AS pr
                    FROM verts v LEFT JOIN g{i} g ON v.id = g.id)""")
+    return "".join(parts)
+
+
+def _sweep_cut_sql(source: int, steps: int, prefix: int) -> str:
+    """Generate the DuckDB replay of operators/localcluster.py:
+    the shared unrolled PPR chain (:func:`_ppr_unrolled_cte`),
+    degree-normalized scores rounded to 12 digits with id tiebreak,
+    the top-``prefix`` rank table, the ±1 cut event trick, and the
+    pure-integer cumulative cut/vol with
+    phi_q6 = cut·10⁶ // min(vol, 2m−vol)."""
+    parts = ["WITH " + _ppr_unrolled_cte(source, steps)]
     inf = 1 << 40
     parts.append(f""",
         und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
@@ -3607,44 +3619,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, round(pr, 9) AS pr FROM p3
         """,
         "sweep_cut": _sweep_cut_sql(PPR_SOURCE, 3, SWEEP_PREFIX),
-        "ppr_k3": f"""
-            WITH edges AS ({_EDGE_SQL}),
-            n AS (SELECT (max(greatest(src, dst)) + 1)::BIGINT AS n FROM edges),
-            outd AS (SELECT src AS id, count(*)::DOUBLE AS od
-                     FROM edges GROUP BY src),
-            verts AS (SELECT unnest(generate_series(0,
-                          (SELECT n - 1 FROM n)))::BIGINT AS id),
-            -- step 1 from the zero vector: gather 0, dangling 0, so
-            -- p1 = 0.15 * restart (restart = 1 on the single source).
-            p1 AS (SELECT id,
-                          CASE WHEN id = {PPR_SOURCE} THEN 0.15 ELSE 0 END
-                              AS pr FROM verts),
-            d2 AS (SELECT coalesce(sum(p.pr), 0) AS d FROM p1 p
-                   LEFT JOIN outd o ON p.id = o.id WHERE o.id IS NULL),
-            g2 AS (SELECT e.dst AS id, sum(p.pr / o.od) AS c
-                   FROM edges e JOIN p1 p ON e.src = p.id
-                   JOIN outd o ON e.src = o.id GROUP BY e.dst),
-            p2 AS (SELECT v.id,
-                          (coalesce(g.c, 0) + (SELECT d FROM d2)
-                               * CASE WHEN v.id = {PPR_SOURCE} THEN 1 ELSE 0 END)
-                              * 0.85
-                          + 0.15 * CASE WHEN v.id = {PPR_SOURCE} THEN 1 ELSE 0 END
-                              AS pr
-                   FROM verts v LEFT JOIN g2 g ON v.id = g.id),
-            d3 AS (SELECT coalesce(sum(p.pr), 0) AS d FROM p2 p
-                   LEFT JOIN outd o ON p.id = o.id WHERE o.id IS NULL),
-            g3 AS (SELECT e.dst AS id, sum(p.pr / o.od) AS c
-                   FROM edges e JOIN p2 p ON e.src = p.id
-                   JOIN outd o ON e.src = o.id GROUP BY e.dst),
-            p3 AS (SELECT v.id,
-                          (coalesce(g.c, 0) + (SELECT d FROM d3)
-                               * CASE WHEN v.id = {PPR_SOURCE} THEN 1 ELSE 0 END)
-                              * 0.85
-                          + 0.15 * CASE WHEN v.id = {PPR_SOURCE} THEN 1 ELSE 0 END
-                              AS pr
-                   FROM verts v LEFT JOIN g3 g ON v.id = g.id)
-            SELECT id, round(pr, 9) AS pr FROM p3
-        """,
+        "ppr_k3": "WITH " + _ppr_unrolled_cte(PPR_SOURCE, 3)
+        + "\nSELECT id, round(pr, 9) AS pr FROM p3",
         "bfs_depths": f"""
             WITH RECURSIVE edges AS ({_EDGE_SQL}),
             sym AS (SELECT src, dst FROM edges WHERE src <> dst
@@ -3869,7 +3845,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT lang AS grp,
                        length(text)::BIGINT // {HIST_BUCKET_WIDTH} AS bucket,
                        count(*)::BIGINT AS cnt
-                FROM documents GROUP BY 1, 2),
+                FROM documents WHERE text IS NOT NULL
+                GROUP BY 1, 2),
             cum AS (
                 SELECT grp, bucket,
                        sum(cnt) OVER (PARTITION BY grp
@@ -4987,7 +4964,8 @@ def oracle_sql() -> dict[str, str]:
                        floor(value / {float(EV_HIST_WIDTH)!r})::BIGINT
                            AS bucket,
                        count(*)::BIGINT AS cnt
-                FROM events GROUP BY 1, 2, 3),
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2, 3),
             cum AS (
                 SELECT hour, event_type, bucket,
                        sum(cnt) OVER (PARTITION BY hour, event_type

@@ -254,7 +254,7 @@ def main() -> None:
                 F.sum(F.col("is_core").cast("long")).alias("cores"),
             ).first()
             return {"clustered": row["n"], "clusters": row["clusters"],
-                    "cores": row["cores"]}
+                    "cores": int(row["cores"] or 0)}
 
         run("scan", _scan)
     if "bowtie" in algos:
@@ -287,7 +287,7 @@ def main() -> None:
             row = hyperball_harmonic(g.edges, 3).agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum("harmonic_q").alias("sum_q")).first()
-            return {"scored": row["n"], "sum_q": row["sum_q"]}
+            return {"scored": row["n"], "sum_q": int(row["sum_q"] or 0)}
 
         run("hyperharmonic", _hh)
     if "condense" in algos:

@@ -176,7 +176,7 @@ def main() -> None:
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.col("is_core").cast("long")).alias("cores"),
             ).first()
-            return {"clustered": row["n"], "cores": row["cores"]}
+            return {"clustered": row["n"], "cores": int(row["cores"] or 0)}
 
         timed("scan_sparse", _scan_sparse)
 
@@ -210,7 +210,7 @@ def main() -> None:
                 F.sum(F.col("is_core").cast("long")).alias("cores"),
             ).first()
             return {"clustered": row["n"], "clusters": row["clusters"],
-                    "cores": row["cores"]}
+                    "cores": int(row["cores"] or 0)}
 
         timed("scan_planted_sparse", _scan_planted)
 

@@ -455,7 +455,7 @@ def condensation_levels(
 
 def bowtie_regions(edges: DataFrame, n: int | None = None,
                    labels: DataFrame | None = None,
-                   max_depth: int = 50) -> DataFrame:
+                   max_depth: int = 100_000) -> DataFrame:
     """(id, region) over the dense domain [0, N): the Broder bow-tie
     decomposition of a directed graph (Broder et al. WWW'00) —
 
@@ -472,8 +472,11 @@ def bowtie_regions(edges: DataFrame, n: int | None = None,
     over the edges and backward over the reversed edges — each a
     frontier loop whose physical strategy is the proven bfs_depths
     operator; region assignment is two broadcast-class left joins.
-    ``max_depth`` caps the reachability waves (50 covers any graph a
-    bow-tie is meaningful for — measured web diameters are ~tens).
+    ``max_depth`` is a runaway backstop only: each wave stops the
+    moment its frontier empties, so the default is effectively
+    unbounded — matching the oracle's unbounded transitive closure
+    (a tendril deeper than the cap would otherwise flip from in/out
+    to 'other').
     """
     from pagerank_spark.operators.bfs import bfs_depths
 

@@ -61,6 +61,22 @@ def random_walks(
     edge.  A walker with no out-neighbor (possible only when
     ``directed=True``) stops early; its later steps are absent.
     """
+    und, starts, checkpoint = _prepare_walk(
+        edges, starts, directed, checkpoint, dedupe=False,
+        ckpt_prefix="walks_ckpt_")
+    try:
+        return _walk_loop(und, starts, num_steps, checkpoint)
+    finally:
+        und.unpersist()
+
+
+def _prepare_walk(edges: DataFrame, starts, directed: bool,
+                  checkpoint: CheckpointManager | None, dedupe: bool,
+                  ckpt_prefix: str):
+    """Shared walk preamble: (persisted) walk edge set, normalized
+    starts, defaulted checkpoint.  ``dedupe=True`` for loops whose
+    pick is duplicate-SENSITIVE (node2vec's candidate replication);
+    the min-pick loops skip the |2E| dedupe shuffle."""
     spark = edges.sparkSession
     fwd = edges.select("src", "dst")
     halves = [fwd]
@@ -70,7 +86,10 @@ def random_walks(
     und = (
         halves[0] if len(halves) == 1 else halves[0].unionByName(halves[1])
     )
-    und = und.where(F.col("src") != F.col("dst")).persist()
+    und = und.where(F.col("src") != F.col("dst"))
+    if dedupe:
+        und = und.dropDuplicates(["src", "dst"])
+    und = und.persist()
     if starts is None:
         starts = und.select(F.col("src").alias("id")).distinct()
     elif not isinstance(starts, DataFrame):
@@ -82,11 +101,8 @@ def random_walks(
         import tempfile
 
         checkpoint = CheckpointManager(
-            spark, tempfile.mkdtemp(prefix="walks_ckpt_"), interval=8)
-    try:
-        return _walk_loop(und, starts, num_steps, checkpoint)
-    finally:
-        und.unpersist()
+            spark, tempfile.mkdtemp(prefix=ckpt_prefix), interval=8)
+    return und, starts, checkpoint
 
 
 def _walk_loop(und: DataFrame, starts: DataFrame, num_steps: int,
@@ -193,28 +209,11 @@ def node2vec_walks(
             raise ValueError(f"{name} must be a non-negative int, got {w!r}")
     if max(return_weight, common_weight, forward_weight) == 0:
         raise ValueError("at least one node2vec weight must be positive")
-    spark = edges.sparkSession
-    halves = [edges.select("src", "dst")]
-    if not directed:
-        halves.append(edges.select(F.col("dst").alias("src"),
-                                   F.col("src").alias("dst")))
-    und = halves[0] if len(halves) == 1 else halves[0].unionByName(halves[1])
-    # Distinct is REQUIRED here (not in random_walks): a duplicated
+    # dedupe=True is REQUIRED here (not in random_walks): a duplicated
     # edge would be replicated twice and double its candidate mass.
-    und = (und.where(F.col("src") != F.col("dst"))
-           .dropDuplicates(["src", "dst"]).persist())
-    if starts is None:
-        starts = und.select(F.col("src").alias("id")).distinct()
-    elif not isinstance(starts, DataFrame):
-        starts = spark.createDataFrame(
-            [(int(s),) for s in starts], "id BIGINT")
-    else:
-        starts = starts.select(F.col(starts.columns[0]).alias("id"))
-    if checkpoint is None:
-        import tempfile
-
-        checkpoint = CheckpointManager(
-            spark, tempfile.mkdtemp(prefix="n2v_ckpt_"), interval=8)
+    und, starts, checkpoint = _prepare_walk(
+        edges, starts, directed, checkpoint, dedupe=True,
+        ckpt_prefix="n2v_ckpt_")
     try:
         return _node2vec_loop(und, starts, num_steps, return_weight,
                               common_weight, forward_weight, checkpoint)
@@ -316,16 +315,25 @@ def _node2vec_loop(und: DataFrame, starts: DataFrame, num_steps: int,
             nxt_frontier = checkpoint.write_state(nxt_frontier, t).persist()
         else:
             nxt_frontier = nxt_frontier.persist()
-        alive = nxt_frontier.count()
+        step_rows = nxt_frontier.select(
+            "walk_id", F.lit(t).cast("int").alias("step"),
+            F.col("cur").alias("id"))
+        # Fold the step into the accumulator and run the convergence
+        # aggregate over IT (the _walk_loop pattern): the lazy
+        # localCheckpoint materializes NOW, while this step's frontier
+        # is still cached — otherwise nothing realizes `out` until the
+        # final eager checkpoint, which would then re-execute every
+        # step's |E|-sized candidate and pair joins from unpersisted
+        # frontiers (~2x total work).
+        out = out.unionByName(step_rows).localCheckpoint(eager=False)
+        row = out.agg(
+            F.sum((F.col("step") == t).cast("long")).alias("alive")).first()
+        alive = int(row["alive"] or 0)
         if checkpoint.should_checkpoint(t):
             checkpoint.write_metrics(t, {"alive": float(alive)})
         frontier.unpersist()
         frontier = nxt_frontier
         f_rows = alive
-        step_rows = frontier.select(
-            "walk_id", F.lit(t).cast("int").alias("step"),
-            F.col("cur").alias("id"))
-        out = out.unionByName(step_rows).localCheckpoint(eager=False)
         if alive == 0:
             break
     result = out.select("walk_id", "step", "id").localCheckpoint(eager=True)

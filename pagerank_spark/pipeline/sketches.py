@@ -142,6 +142,10 @@ def length_histogram(docs: DataFrame, bucket_width: int = 64,
         docs.select(F.col(group_col).alias("grp"),
                     F.expr(f"CAST(length(text) AS BIGINT) DIV {bucket_width}")
                     .alias("bucket"))
+        # NULL text has no length: excluded from the sketch (a NULL
+        # bucket would also sort NULLS-FIRST in Spark's cumulative
+        # window vs NULLS-LAST in most SQL engines — a parity trap).
+        .where(F.col("bucket").isNotNull())
         .groupBy("grp", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

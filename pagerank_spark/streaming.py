@@ -74,7 +74,11 @@ def windowed_value_histogram(events: DataFrame, window: str = "1 hour",
     if events.isStreaming:
         src = events.withWatermark("ts", watermark)
     return (
-        src.groupBy(
+        # NULL values carry no bucket; excluding them keeps the
+        # cumulative quantile window's ordering engine-agnostic
+        # (Spark sorts NULLS first, most SQL engines last).
+        src.where(F.col("value").isNotNull())
+        .groupBy(
             F.window("ts", window).alias("w"), "event_type",
             F.floor(F.col("value") / F.lit(float(bucket_width)))
             .cast("bigint").alias("bucket"))
